@@ -1,0 +1,195 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as ScipyRot
+
+from relativepose_tpu.core.rotation import angular_distance
+from relativepose_tpu.match import solver
+from tests.oracle_solver import estimate_relative_pose_oracle
+
+
+def make_scene(rng, k=24, feat_dim=8, noise=0.0, outliers=0, spread=1.0,
+               unobserved=0):
+    """Two keypoint sets related by a random rigid pose with matched
+    descriptors."""
+    R = ScipyRot.random(random_state=rng).as_matrix().astype(np.float64)
+    t = rng.randn(3) * 0.5
+    ps = rng.randn(k, 3) * spread
+    ns = rng.randn(k, 3)
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    pt = ps @ R.T + t + rng.randn(k, 3) * noise
+    nt = ns @ R.T
+    # matched descriptors: same base code per keypoint (scaled to the /100
+    # regime the solver divides by)
+    f = rng.randn(k, feat_dim) * 10.0
+    fs = f + rng.randn(k, feat_dim) * 0.05
+    ft = f + rng.randn(k, feat_dim) * 0.05
+    if outliers:
+        pt[:outliers] = rng.randn(outliers, 3) * spread
+        nt[:outliers] = rng.randn(outliers, 3)
+        nt[:outliers] /= np.linalg.norm(nt[:outliers], axis=1, keepdims=True)
+    w_s = np.ones(k)
+    w_t = np.ones(k)
+    if unobserved:
+        w_s[-unobserved:] = 0.99
+        w_t[-unobserved:] = 0.99
+    T = np.eye(4)
+    T[:3, :3], T[:3, 3] = R, t
+    return dict(pc=ps, normal=ns, feat=fs, weight=w_s), \
+        dict(pc=pt, normal=nt, feat=ft, weight=w_t), T
+
+
+def to_device_data(d, cap=None):
+    k = d["pc"].shape[0]
+    cap = cap or k
+    pad = cap - k
+    out = {}
+    for key, width in (("pc", 3), ("normal", 3), ("feat", d["feat"].shape[1]),
+                       ("weight", None)):
+        arr = d[key].astype(np.float32)
+        if arr.ndim == 1:
+            arr = np.pad(arr, (0, pad))
+        else:
+            arr = np.pad(arr, ((0, pad), (0, 0)))
+        out[key] = jnp.asarray(arr)
+    out["valid"] = jnp.asarray(np.arange(cap) < k)
+    return out
+
+
+PARA = dict(sigmaFeat=0.01, sigmaDist=0.04, sigmaAngle1=0.2615,
+            sigmaAngle2=0.2615, distThre=0.08, distSepThre=0.12,
+            angleThre=np.pi / 4, mu=0.3, topK=3)
+HP = solver.SolverHyperParams(
+    sigma_feat=0.01, sigma_dist=0.04, sigma_angle1=0.2615,
+    sigma_angle2=0.2615, dist_thre=0.08, dist_sep_thre=0.12,
+    angle_thre=np.pi / 4, mu=0.3)
+
+
+def rot_err(T1, T2):
+    return float(angular_distance(jnp.asarray(T1[:3, :3]),
+                                  jnp.asarray(T2[:3, :3])))
+
+
+class TestSolverRecovery:
+    @pytest.mark.parametrize("method", ["horn87", "irls", "spectral",
+                                        "irls+sm"])
+    def test_exact_recovery(self, rng, method):
+        ds, dt, T_gt = make_scene(rng, k=24)
+        cfg = solver.SolverStaticConfig(top_k=3, method=method)
+        T = np.asarray(solver.estimate_relative_pose(
+            to_device_data(ds), to_device_data(dt), HP, cfg))
+        assert rot_err(T, T_gt) < 1.0
+        assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 0.05
+
+    @pytest.mark.parametrize("method", ["irls", "irls+sm"])
+    def test_recovery_with_outliers(self, rng, method):
+        ds, dt, T_gt = make_scene(rng, k=32, noise=0.002, outliers=6)
+        cfg = solver.SolverStaticConfig(top_k=3, method=method)
+        T = np.asarray(solver.estimate_relative_pose(
+            to_device_data(ds), to_device_data(dt), HP, cfg))
+        assert rot_err(T, T_gt) < 3.0
+
+    def test_padding_invariance(self, rng):
+        """Padding keypoint capacity must not change the result."""
+        ds, dt, T_gt = make_scene(rng, k=20)
+        cfg = solver.SolverStaticConfig(top_k=3, method="irls+sm")
+        T1 = np.asarray(solver.estimate_relative_pose(
+            to_device_data(ds, cap=20), to_device_data(dt, cap=20), HP, cfg))
+        T2 = np.asarray(solver.estimate_relative_pose(
+            to_device_data(ds, cap=32), to_device_data(dt, cap=32), HP, cfg))
+        assert rot_err(T1, T2) < 0.2
+        np.testing.assert_allclose(T1[:3, 3], T2[:3, 3], atol=5e-3)
+
+
+class TestGoldenVsOracle:
+    """The factorized TPU solver must match the dynamic-shape ARPACK oracle
+    (which mirrors rpmodule.py) on the same inputs."""
+
+    @pytest.mark.parametrize("method", ["horn87", "irls", "irls+sm",
+                                        "spectral"])
+    def test_matches_oracle(self, rng, method):
+        for trial in range(3):
+            ds, dt, T_gt = make_scene(rng, k=16, noise=0.004, outliers=3,
+                                      unobserved=4)
+            para = dict(PARA, method=method)
+            T_ref = estimate_relative_pose_oracle(ds, dt, para)
+            cfg = solver.SolverStaticConfig(
+                top_k=3, method=method, power_iters=100)
+            T_jax = np.asarray(solver.estimate_relative_pose(
+                to_device_data(ds), to_device_data(dt), HP, cfg))
+            assert rot_err(T_jax, T_ref) < 0.5, (trial, T_jax, T_ref)
+            np.testing.assert_allclose(
+                T_jax[:3, 3], T_ref[:3, 3], atol=5e-3)
+
+    def test_affinity_matches_oracle(self, rng):
+        ds, dt, _ = make_scene(rng, k=16, unobserved=5)
+        sF = ds["feat"] / 100.0
+        tF = dt["feat"] / 100.0
+        pcw = ds["weight"][:, None] * dt["weight"][None, :]
+        dij = ((sF[:, None] - tF[None]) ** 2).sum(2)
+        sig = np.full(pcw.shape, 0.01)
+        sig[pcw == 1] = 0.01 / 1.2
+        wij_ref = np.exp(-dij / (2 * (sig / 5) ** 2))
+        nm = np.linalg.norm(wij_ref, axis=1, keepdims=True)
+        nm[nm == 0] = 1
+        wij_ref /= nm
+        dd = to_device_data(ds)
+        tt = to_device_data(dt)
+        wij = np.asarray(solver.descriptor_affinity(
+            dd["feat"] / 100.0, tt["feat"] / 100.0, dd["weight"],
+            tt["weight"], dd["valid"], tt["valid"], 0.01))
+        np.testing.assert_allclose(wij, wij_ref, rtol=1e-3, atol=1e-5)
+
+
+class TestEarlyOuts:
+    def test_too_few_keypoints(self, rng):
+        ds, dt, _ = make_scene(rng, k=2)
+        cfg = solver.SolverStaticConfig(top_k=1, method="irls+sm")
+        T = np.asarray(solver.estimate_relative_pose(
+            to_device_data(ds, cap=8), to_device_data(dt, cap=8), HP, cfg))
+        np.testing.assert_allclose(T, np.eye(4), atol=1e-6)
+
+    def test_no_consistent_pairs(self, rng):
+        # totally unrelated clouds at tiny scale -> separation filter kills
+        # every pair (all distances < 1.5*distSepThre^2 = 0.0216)
+        ds, dt, _ = make_scene(rng, k=10, spread=0.001)
+        dt["pc"] = rng.randn(10, 3) * 0.001
+        cfg = solver.SolverStaticConfig(top_k=3, method="irls+sm")
+        T = np.asarray(solver.estimate_relative_pose(
+            to_device_data(ds), to_device_data(dt), HP, cfg))
+        np.testing.assert_allclose(T, np.eye(4), atol=1e-6)
+
+    def test_all_invalid(self):
+        d = dict(pc=jnp.zeros((8, 3)), normal=jnp.zeros((8, 3)),
+                 feat=jnp.zeros((8, 4)), weight=jnp.ones(8),
+                 valid=jnp.zeros(8, bool))
+        cfg = solver.SolverStaticConfig(top_k=3, method="irls+sm")
+        T = np.asarray(solver.estimate_relative_pose(d, d, HP, cfg))
+        np.testing.assert_allclose(T, np.eye(4), atol=1e-6)
+
+
+class TestJitAndVmap:
+    def test_jit_compiles_and_matches_eager(self, rng):
+        import jax
+        ds, dt, _ = make_scene(rng, k=16)
+        cfg = solver.SolverStaticConfig(top_k=3, method="irls+sm")
+        f = jax.jit(lambda a, b, hp: solver.estimate_relative_pose(
+            a, b, hp, cfg))
+        dd, tt = to_device_data(ds), to_device_data(dt)
+        T1 = np.asarray(f(dd, tt, HP))
+        T2 = np.asarray(solver.estimate_relative_pose(dd, tt, HP, cfg))
+        np.testing.assert_allclose(T1, T2, atol=1e-4)
+
+    def test_vmap_over_pairs(self, rng):
+        import jax
+        cfg = solver.SolverStaticConfig(top_k=3, method="irls+sm")
+        scenes = [make_scene(rng, k=16) for _ in range(3)]
+        dds = jax.tree.map(lambda *x: jnp.stack(x),
+                           *[to_device_data(s[0]) for s in scenes])
+        tts = jax.tree.map(lambda *x: jnp.stack(x),
+                           *[to_device_data(s[1]) for s in scenes])
+        f = jax.vmap(lambda a, b: solver.estimate_relative_pose(
+            a, b, HP, cfg))
+        Ts = np.asarray(f(dds, tts))
+        for i, (_, _, T_gt) in enumerate(scenes):
+            assert rot_err(Ts[i], T_gt) < 1.0
