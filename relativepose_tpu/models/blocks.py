@@ -1,0 +1,144 @@
+"""Shared conv blocks for the feature / completion networks.
+
+Mirrors the reference's `conv2d` / `deconv2d` builders (model/mymodel.py:
+15-39): Conv (or ConvTranspose) + BatchNorm(track_running_stats=False) +
+LeakyReLU(0.1).  Notes on the TPU-native translation:
+
+  * layout is NHWC (TPU-native) instead of torch NCHW;
+  * `track_running_stats=False` means the reference normalizes with BATCH
+    statistics in train AND eval, so `BatchNorm2d` here always computes
+    batch moments — no running-average state to thread around (and no
+    cross-device psum needed for correctness parity, though `axis_name`
+    can be passed to sync statistics across a data-parallel mesh);
+  * ConvTranspose2d(k, s, p) output geometry ((in-1)*s - 2p + k) is
+    reproduced with an input-dilated convolution, pad = k - 1 - p;
+  * compute dtype is configurable (bfloat16 on the MXU; params stay f32).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class BatchNorm2d(nn.Module):
+    """Batch normalization with batch statistics only (no running stats).
+
+    Matches torch BatchNorm2d(track_running_stats=False): normalize each
+    channel with the current batch's mean/var over (N, H, W), with learned
+    scale/bias.  If `axis_name` is set, moments are averaged across that
+    mapped device axis.
+    """
+
+    eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.normal(0.02, jnp.float32),
+                           (x.shape[-1],))
+        # reference init: BN weight ~ N(1.0, 0.02), bias 0 (mymodel.py:11-13)
+        scale = scale + 1.0
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+        if self.axis_name is not None:
+            mean = jax.lax.pmean(mean, self.axis_name)
+            var = jax.lax.pmean(var, self.axis_name)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class ConvBlock(nn.Module):
+    """conv2d builder (mymodel.py:15-26): Conv + [BN] + LeakyReLU(0.1)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    batchnorm: bool = True
+    act: bool = True
+    dtype: Optional[Dtype] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=not self.batchnorm,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_normal(),
+        )(x)
+        if self.batchnorm:
+            x = BatchNorm2d(dtype=self.dtype, axis_name=self.axis_name)(x)
+        if self.act:
+            x = nn.leaky_relu(x, 0.1)
+        return x
+
+
+class DeconvBlock(nn.Module):
+    """deconv2d builder (mymodel.py:28-39) with torch ConvTranspose geometry.
+
+    Output spatial size = (in - 1) * stride - 2 * padding + kernel, realized
+    as a stride-1 conv over the stride-dilated input with edge padding
+    kernel - 1 - padding.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    batchnorm: bool = True
+    act: bool = True
+    dtype: Optional[Dtype] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        pad = k - 1 - p
+        assert pad >= 0, "unsupported ConvTranspose geometry"
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_normal(),
+            (k, k, x.shape[-1], self.features), jnp.float32)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.batchnorm:
+            y = BatchNorm2d(dtype=self.dtype, axis_name=self.axis_name)(y)
+        else:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        if self.act:
+            y = nn.leaky_relu(y, 0.1)
+        return y
+
+
+def resize_bilinear(x, size):
+    """Bilinear resize to (H, W) with half-pixel centers.
+
+    Equivalent to torch `upsample(..., mode='bilinear',
+    align_corners=False)` used throughout the reference
+    (mymodel.py:105-112, :261, :379).
+    """
+    out_shape = x.shape[:-3] + (size[0], size[1], x.shape[-1])
+    return jax.image.resize(x, out_shape, method="bilinear")
