@@ -1,0 +1,188 @@
+"""Synthetic RGB-D pano scenes with exact ground-truth relative poses.
+
+The reference's datasets are external multi-GB downloads (README.md:24-28),
+so tests, benchmarks, and the minimum end-to-end slice run on procedurally
+generated scenes: a textured axis-aligned box room rendered into the same
+4-face skybox panorama format the datasets use (160x640 rgb / depth /
+normal / semantic), from two camera poses with a controlled amount of
+view overlap.
+
+Conventions match the reference exactly:
+  * pose matrices are world->camera; the GT relative pose is
+    R_tgt @ inv(R_src) (evaluation.py:173-176);
+  * pano block j looks through FACE_ROTATIONS[FACE_ORDER[dataset][j]];
+  * depth is the face-planar z (lift: (xs*z, ys*z, -z));
+  * scannet panos bake in the kinect intrinsics divisors so
+    `pano_to_pointcloud` recovers the true geometry;
+  * normals are stored in the view's camera frame;
+  * rgb is BGR in [0, 1] (cv2.imread convention, datasets/SUNCG.py:289).
+
+Texture is a hashed 3D voxel color field — piecewise-constant blocks give
+the DoG detector corners and make descriptors position-distinctive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from relativepose_tpu import config
+from relativepose_tpu.core import skybox
+
+FACE = config.FACE
+H, W = config.PANO_HEIGHT, config.PANO_WIDTH
+
+
+@dataclasses.dataclass
+class Room:
+    half_extent: np.ndarray  # [3] half sizes of the box room
+    tex_scale: float = 2.5   # voxel texture frequency
+    seed: int = 0
+
+
+def _hash_color(ip, seed):
+    """Deterministic pseudo-random color per integer 3D cell."""
+    h = (ip[..., 0] * 73856093 ^ ip[..., 1] * 19349663
+         ^ ip[..., 2] * 83492791 ^ (seed * 2654435761)) & 0x7FFFFFFF
+    r = ((h >> 0) & 255) / 255.0
+    g = ((h >> 8) & 255) / 255.0
+    b = ((h >> 16) & 255) / 255.0
+    return np.stack([b, g, r], axis=-1)  # BGR
+
+
+def _texture(p_world, room: Room):
+    ip = np.floor(p_world * room.tex_scale).astype(np.int64)
+    base = _hash_color(ip, room.seed)
+    fine = _hash_color(np.floor(p_world * room.tex_scale * 4).astype(np.int64),
+                       room.seed + 1)
+    return 0.7 * base + 0.3 * fine
+
+
+_WALL_SEMANTICS = {0: 1, 1: 2, 2: 1}  # axis -> class (wall/floor-ceiling)
+
+
+def _ray_box(o, d, half):
+    """Inner intersection of rays (o fixed, d [N, 3]) with box [-half, half].
+
+    Returns (t [N], axis [N], sign [N]): exit parameter, hit axis, hit side.
+    """
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_hi = (half[None, :] - o[None, :]) / d
+        t_lo = (-half[None, :] - o[None, :]) / d
+        t_exit_per_axis = np.where(d > 0, t_hi, np.where(d < 0, t_lo, np.inf))
+    axis = np.argmin(t_exit_per_axis, axis=1)
+    t = t_exit_per_axis[np.arange(len(axis)), axis]
+    sign = np.sign(d[np.arange(len(axis)), axis])
+    return t, axis, sign
+
+
+def render_pano(room: Room, R_wc, t_wc, dataset: str):
+    """Render a skybox pano from the world->camera pose (R_wc, t_wc).
+
+    Returns dict(rgb [H, W, 3] BGR 0..1, depth [H, W], norm [H, W, 3]
+    camera-frame, segm [H, W] int).  Camera must be inside the room.
+    """
+    ds = config.canonical_dataset(dataset)
+    rots = np.asarray(skybox.face_rotations(ds))
+    cam_center = -R_wc.T @ t_wc
+
+    ys, xs = np.meshgrid(range(FACE), range(FACE), indexing="ij")
+    ndc_x = (xs / FACE - 0.5) * 2.0
+    ndc_y = (0.5 - ys / FACE) * 2.0
+    if ds == "scannet":
+        ndc_x = ndc_x / config.KINECT_FX_DIV
+        ndc_y = ndc_y / config.KINECT_FY_DIV
+    dirs_face = np.stack(
+        [ndc_x, ndc_y, -np.ones_like(ndc_x)], axis=-1).reshape(-1, 3)
+
+    rgb = np.zeros((H, W, 3), np.float32)
+    depth = np.zeros((H, W), np.float32)
+    norm = np.zeros((H, W, 3), np.float32)
+    segm = np.zeros((H, W), np.int32)
+    for j in range(4):
+        d_view = dirs_face @ rots[j].T
+        d_world = d_view @ R_wc  # R_wc^T @ d
+        t, axis, sign = _ray_box(cam_center, d_world, room.half_extent)
+        p_world = cam_center[None, :] + t[:, None] * d_world
+        n_world = np.zeros_like(p_world)
+        n_world[np.arange(len(axis)), axis] = -sign  # inward normal
+        n_view = n_world @ R_wc.T  # R_wc @ n
+        c = _texture(p_world, room)
+        block = slice(j * FACE, (j + 1) * FACE)
+        rgb[:, block] = c.reshape(FACE, FACE, 3)
+        depth[:, block] = t.reshape(FACE, FACE)  # ray param == face z
+        norm[:, block] = n_view.reshape(FACE, FACE, 3)
+        segm[:, block] = np.array(
+            [_WALL_SEMANTICS[a] for a in axis], np.int32
+        ).reshape(FACE, FACE)
+    return dict(rgb=rgb, depth=depth, norm=norm, segm=segm)
+
+
+def render_kinect_frame(room: Room, R_wc, t_wc):
+    """Full-size 480x640 kinect frame (scannet's rgb_full/depth_full)."""
+    h, w = config.KINECT_FULL_H, config.KINECT_FULL_W
+    cam_center = -R_wc.T @ t_wc
+    ys, xs = np.meshgrid(range(h), range(w), indexing="ij")
+    ndc_x = (xs / w - 0.5) * 2.0 / config.KINECT_FX_DIV
+    ndc_y = (0.5 - ys / h) * 2.0 / config.KINECT_FY_DIV
+    dirs = np.stack([ndc_x, ndc_y, -np.ones_like(ndc_x)], -1).reshape(-1, 3)
+    d_world = dirs @ R_wc
+    t, axis, sign = _ray_box(cam_center, d_world, room.half_extent)
+    p_world = cam_center[None, :] + t[:, None] * d_world
+    rgb = _texture(p_world, room).reshape(h, w, 3).astype(np.float32)
+    depth = t.reshape(h, w).astype(np.float32)
+    return rgb, depth
+
+
+def _yaw_pitch_rot(rng, max_pitch=0.15):
+    yaw = rng.uniform(0, 2 * np.pi)
+    pitch = rng.uniform(-max_pitch, max_pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    return (Ry @ Rx).astype(np.float64)
+
+
+def make_pair(seed: int, dataset: str = "suncg", max_baseline: float = 0.8,
+              max_yaw: float = np.pi):
+    """A synthetic pano pair + GT relative pose.
+
+    Returns (data_s, data_t, T_gt [4,4]) where data_* have rgb/depth/norm/
+    segm (+ rgb_full/depth_full for scannet) and 'pose' (world->cam 4x4);
+    T_gt = pose_t @ inv(pose_s) maps src-camera points into the tgt camera
+    frame (evaluation.py:173-176).
+    """
+    rng = np.random.RandomState(seed)
+    room = Room(half_extent=rng.uniform(1.8, 3.2, 3), seed=seed)
+    room.half_extent[1] = rng.uniform(1.2, 1.6)  # ceiling height
+
+    poses = []
+    for _ in range(2):
+        R = _yaw_pitch_rot(rng)
+        center = rng.uniform(-0.4, 0.4, 3) * room.half_extent
+        center[1] = rng.uniform(-0.3, 0.1)
+        t = -R @ center
+        P = np.eye(4)
+        P[:3, :3], P[:3, 3] = R, t
+        poses.append(P)
+    # pull the second camera toward the first for controllable baselines
+    c0 = -poses[0][:3, :3].T @ poses[0][:3, 3]
+    c1 = -poses[1][:3, :3].T @ poses[1][:3, 3]
+    c1 = c0 + (c1 - c0) * min(1.0, max_baseline / (np.linalg.norm(c1 - c0)
+                                                   + 1e-9))
+    poses[1][:3, 3] = -poses[1][:3, :3] @ c1
+
+    views = []
+    for P in poses:
+        v = render_pano(room, P[:3, :3], P[:3, 3], dataset)
+        v["pose"] = P
+        if config.canonical_dataset(dataset) == "scannet":
+            rgb_full, depth_full = render_kinect_frame(room, P[:3, :3],
+                                                       P[:3, 3])
+            v["rgb_full"] = rgb_full
+            v["depth_full"] = depth_full
+        views.append(v)
+    T_gt = poses[1] @ np.linalg.inv(poses[0])
+    return views[0], views[1], T_gt

@@ -1,0 +1,240 @@
+"""Fixed-shape keypoint extraction, fully on device.
+
+Replaces the reference's host-side OpenCV SIFT + per-point Python loops
+(RPModule/rputil.py:141-371) with jittable, batched ops:
+
+  * `detect_dog`: a multi-scale difference-of-Gaussians detector with 3x3
+    NMS and top-K selection.  Keypoint *parity* with OpenCV SIFT is not
+    required — the reference's keypoint sets are stochastic (np.random.seed()
+    per pair, evaluation.py:160) and only feed the descriptor-matching
+    stage; what matters is producing well-spread, repeatable corners in the
+    observed region.
+  * `augment_with_feature_matches`: the reference's `Sampling` augmentation
+    (rputil.py:184-219): take N selected keypoints from one view, find the
+    top-2 locations in the other view's descriptor map (with 15-px NMS
+    windows), and add those as candidate keypoints of the other view.
+  * `random_unobserved_points`: the 30 (120 for kinect) uniform samples
+    outside the observed region (rputil.py:202-219, :313-334).
+  * `build_keypoint_sets`: assembles the per-view fixed-capacity keypoint
+    sets with observation weights 1.0 / 0.99 (rputil.py:229-235).
+
+Every output is a fixed-size array + validity mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relativepose_tpu import config
+from relativepose_tpu.ops.interpolate import interpolate_normalized
+from relativepose_tpu.ops.sampling import topk_nms
+
+FACE = config.FACE
+H, W = config.PANO_HEIGHT, config.PANO_WIDTH
+
+N_SIFT_MATCH = 30   # rputil.py:143
+N_RANDOM = 30       # rputil.py:144
+N_RANDOM_KINECT = 120  # rputil.py:313
+MARKER = 0.99       # rputil.py:145
+AUG_TOPK = 2        # rputil.py:147
+
+
+@dataclasses.dataclass(frozen=True)
+class KeypointConfig:
+    n_detect: int = 224       # detector capacity per view
+    dog_threshold: float = 2.0  # on 0..255 luma DoG response
+    n_match: int = N_SIFT_MATCH
+    n_random: int = N_RANDOM
+
+    @property
+    def capacity(self) -> int:
+        # detected + 2*n_match aug + max(n_random, 2*n_random aug)
+        return self.n_detect + 2 * self.n_match + 2 * self.n_random
+
+
+def rgb_to_gray(rgb):
+    """BGR->gray luma like cv2.cvtColor(BGR2GRAY); rgb in [..., 3] BGR order
+    0..255 (the reference stores panos BGR because cv2.imread loads BGR)."""
+    b, g, r = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return 0.114 * b + 0.587 * g + 0.299 * r
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_taps(sigma: float, radius: int):
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img, sigma, radius=None):
+    """Separable gaussian blur of img [h, w]."""
+    radius = radius or max(1, int(3 * sigma + 0.5))
+    taps = jnp.asarray(_gauss_taps(float(sigma), radius))
+    x = img[None, :, :, None]
+    kh = taps.reshape(-1, 1, 1, 1)
+    kw = taps.reshape(1, -1, 1, 1)
+    dn = ("NHWC", "HWIO", "NHWC")
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn)
+    return x[0, :, :, 0]
+
+
+def detect_dog(gray, k_det: int, threshold: float = 2.0):
+    """Multi-scale DoG corner detector on a grayscale image [h, w].
+
+    Returns (pts [k_det, 2] float (x, y), valid [k_det] bool), strongest
+    first.  Border pixels (1 px) are excluded so downstream bilinear reads
+    stay in bounds (the reference filters x < W-1, y < H-1 similarly).
+    """
+    h, w = gray.shape
+    sigmas = (1.0, 1.6, 2.56, 4.1)
+    blurs = [_blur(gray, s) for s in sigmas]
+    resp = jnp.zeros_like(gray)
+    for a, b in zip(blurs[:-1], blurs[1:]):
+        resp = jnp.maximum(resp, jnp.abs(a - b))
+    # 3x3 non-max suppression
+    pooled = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    is_peak = (resp >= pooled) & (resp > threshold)
+    border = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+    score = jnp.where(is_peak & border, resp, -1.0)
+    flat_scores, flat_idx = jax.lax.top_k(score.reshape(-1), k_det)
+    ys = (flat_idx // w).astype(jnp.float32)
+    xs = (flat_idx % w).astype(jnp.float32)
+    return jnp.stack([xs, ys], -1), flat_scores > 0
+
+
+def augment_with_feature_matches(desc_query, query_valid, feat_other, key,
+                                 n_match: int):
+    """Reference `Sampling` augmentation (rputil.py:184-198).
+
+    desc_query: [K, F] descriptors of one view's keypoints;
+    feat_other: [H, W, F] dense feature map of the OTHER view.
+    Selects `n_match` query descriptors at random (among valid), builds
+    distance heatmaps, and returns the top-2-with-NMS locations per query
+    as keypoints of the other view: (pts [2*n_match, 2], valid).
+    """
+    k = desc_query.shape[0]
+    probs = query_valid.astype(jnp.float32) + 1e-9  # keep a valid simplex
+    probs = probs / probs.sum()
+    sel = jax.random.choice(key, k, (n_match,), replace=True, p=probs)
+    q = desc_query[sel]  # [n_match, F]
+    sel_valid = query_valid[sel]
+    h, w = feat_other.shape[:2]
+    flat = feat_other.reshape(-1, feat_other.shape[-1])
+    # squared distance heatmaps via matmul (MXU): |q|^2 - 2 q.f + |f|^2
+    d = (
+        jnp.sum(q * q, -1, keepdims=True)
+        - 2.0 * q @ flat.T
+        + jnp.sum(flat * flat, -1)[None, :]
+    ).reshape(n_match, h, w)
+    pts = topk_nms(d, AUG_TOPK).reshape(-1, 2).astype(jnp.float32)
+    valid = (pts[:, 0] < w - 1) & (pts[:, 1] < h - 1)
+    valid = valid & jnp.repeat(sel_valid, AUG_TOPK)
+    return pts, valid
+
+
+def in_observed_region(pts, mask_method: str):
+    """Observation test used for keypoint weights (rputil.py:229-235,
+    :345-351).  pts: [..., 2] (x, y) pano coords."""
+    x, y = pts[..., 0], pts[..., 1]
+    if mask_method == "second":
+        return (x >= FACE) & (x <= 2 * FACE)
+    if mask_method == "kinect":
+        return (
+            (x >= config.KINECT_COL0) & (x <= config.KINECT_COL1)
+            & (y >= config.KINECT_ROW0) & (y <= config.KINECT_ROW1)
+        )
+    raise ValueError(mask_method)
+
+
+def random_unobserved_points(key, n_random: int, mask_method: str):
+    """Uniform pano points outside the observed region (kept fixed-shape
+    with validity instead of boolean filtering)."""
+    kx, ky = jax.random.split(key)
+    xs = jnp.clip((jax.random.uniform(kx, (n_random,)) * W).astype(jnp.int32),
+                  0, W - 2).astype(jnp.float32)
+    ys = jnp.clip((jax.random.uniform(ky, (n_random,)) * H).astype(jnp.int32),
+                  0, H - 2).astype(jnp.float32)
+    pts = jnp.stack([xs, ys], -1)
+    return pts, ~in_observed_region(pts, mask_method)
+
+
+def _normalized(pts):
+    return pts / jnp.asarray([W, H], dtype=pts.dtype)
+
+
+def build_keypoint_sets(rgb_s, rgb_t, feat_s, feat_t, key,
+                        cfg: KeypointConfig, mask_method: str = "second",
+                        gray_full_s=None, gray_full_t=None):
+    """Per-view keypoint sets (getKeypoint / getKeypoint_kinect,
+    rputil.py:141-353).
+
+    rgb_s/rgb_t: [H, W, 3] masked color panos (0..255, BGR);
+    feat_s/feat_t: [H, W, F] descriptor maps.  For scannet pass
+    gray_full_s/t [480, 640] (detection runs on the full-size frame and is
+    remapped into the kinect window, rputil.py:257-279).
+
+    Returns (pts_s, valid_s, w_s, pts_t, valid_t, w_t) with
+    pts: [capacity, 2] float pano coords, w: 1.0 observed / 0.99 outside.
+    """
+    keys = jax.random.split(key, 6)
+
+    def detect_view(rgb, gray_full):
+        if gray_full is not None:
+            # kinect: detect on the full frame, remap into the pano window
+            pts, valid = detect_dog(gray_full, cfg.n_detect,
+                                    cfg.dog_threshold)
+            x = pts[:, 0] / config.KINECT_FULL_W * config.KINECT_FOV_W \
+                + config.KINECT_COL0
+            y = pts[:, 1] / config.KINECT_FULL_H * config.KINECT_FOV_H \
+                + config.KINECT_ROW0
+            return jnp.stack([x, y], -1), valid
+        gray = rgb_to_gray(rgb)
+        obs = gray[:, FACE : 2 * FACE]
+        pts, valid = detect_dog(obs, cfg.n_detect, cfg.dog_threshold)
+        return pts + jnp.asarray([FACE, 0.0]), valid
+
+    det_s, det_s_valid = detect_view(rgb_s, gray_full_s)
+    det_t, det_t_valid = detect_view(rgb_t, gray_full_t)
+
+    desc_s = interpolate_normalized(feat_s, _normalized(det_s))
+    desc_t = interpolate_normalized(feat_t, _normalized(det_t))
+
+    # cross-view feature-match augmentation (both directions)
+    aug_t, aug_t_valid = augment_with_feature_matches(
+        desc_s, det_s_valid, feat_t, keys[0], cfg.n_match)
+    aug_s, aug_s_valid = augment_with_feature_matches(
+        desc_t, det_t_valid, feat_s, keys[1], cfg.n_match)
+
+    # random unobserved points on the source, matched into the target
+    rnd_s, rnd_s_valid = random_unobserved_points(
+        keys[2], cfg.n_random, mask_method)
+    desc_rnd = interpolate_normalized(feat_s, _normalized(rnd_s))
+    aug_t2, aug_t2_valid = augment_with_feature_matches(
+        desc_rnd, rnd_s_valid, feat_t, keys[3], cfg.n_random)
+
+    def pad_to(pts, valid, n):
+        pad = n - pts.shape[0]
+        return (jnp.pad(pts, ((0, pad), (0, 0))),
+                jnp.pad(valid, (0, pad)))
+
+    cap = cfg.capacity
+    pts_s = jnp.concatenate([det_s, aug_s, rnd_s], 0)
+    valid_s = jnp.concatenate([det_s_valid, aug_s_valid, rnd_s_valid], 0)
+    pts_s, valid_s = pad_to(pts_s, valid_s, cap)
+
+    pts_t = jnp.concatenate([det_t, aug_t, aug_t2], 0)
+    valid_t = jnp.concatenate([det_t_valid, aug_t_valid, aug_t2_valid], 0)
+    pts_t, valid_t = pad_to(pts_t, valid_t, cap)
+
+    w_s = jnp.where(in_observed_region(pts_s, mask_method), 1.0, MARKER)
+    w_t = jnp.where(in_observed_region(pts_t, mask_method), 1.0, MARKER)
+    return pts_s, valid_s, w_s, pts_t, valid_t, w_t

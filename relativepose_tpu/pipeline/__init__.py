@@ -1,0 +1,5 @@
+from relativepose_tpu.pipeline.recurrent import (  # noqa: F401
+    PipelineConfig,
+    estimate_pose_via_completion,
+    make_view,
+)

@@ -1,0 +1,172 @@
+"""The recurrent complete <-> match <-> solve loop, fully on device.
+
+TPU-native re-design of `RelativePoseEstimationViaCompletion`
+(rpmodule.py:569-662) and the inline copy in evaluation.py:232-284.  The
+reference bounces between host (warp, SIFT, solver) and device (SCNet)
+twice per recurrence step, one pair at a time; here the entire
+`alter_steps`-unrolled loop — warp, completion forward, compositing,
+keypoint detection, descriptor matching, and the spectral/IRLS solve — is
+one jittable function, `vmap`-batched over pano pairs.
+
+Per recurrence step (mirroring rpmodule.py:614-660):
+  1. warp each view's observed region through the current pose estimate
+     into the other view's frame;
+  2. run the completion net on both [view ; warped-counterpart] stacks
+     (batch of 2 per pair, so batch-stat normalization sees exactly the
+     same batch as the reference's `net(torch.cat((view0, view1)))`);
+  3. composite: observed regions keep ground-truth normal/depth, completed
+     regions take the network output; renormalize normals
+     (rpmodule.py:629-634);
+  4. extract keypoints + descriptors + 3D lifts;
+  5. solve for the next pose with this step's sigma parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from relativepose_tpu import config
+from relativepose_tpu.config import ChannelLayout
+from relativepose_tpu.core import masking, rotation, warp
+from relativepose_tpu.match import primitives
+from relativepose_tpu.match.keypoints import KeypointConfig, rgb_to_gray
+from relativepose_tpu.match.solver import (
+    SolverHyperParams,
+    SolverStaticConfig,
+    estimate_relative_pose,
+)
+
+_EPS = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    dataset: str = "suncg"
+    mask_method: str = "second"       # 'second' | 'kinect'
+    alter_steps: int = 3              # rlevel; 1 for ours_nr
+    completion: bool = True           # False for ours_nc
+    output_type: str = "rgbdnsf"
+    snumclass: int = 15
+    feature_dim: int = 32
+    keypoints: KeypointConfig = KeypointConfig()
+    solver: SolverStaticConfig = SolverStaticConfig()
+
+    @property
+    def layout(self) -> ChannelLayout:
+        return ChannelLayout(self.output_type, self.snumclass,
+                             self.feature_dim)
+
+
+def make_view(rgb, norm, depth, mask_method: str):
+    """Complete pano -> masked 8-channel view + observation mask.
+
+    rgb: [H, W, 3] in [0, 1]; norm: [H, W, 3]; depth: [H, W].
+    Mirrors rpmodule.py:598-612: mask the 7-channel pano, then append a
+    valid-data mask channel (masked depth != 0).
+    """
+    complete = jnp.concatenate([rgb, norm, depth[..., None]], -1)
+    view, mask, _ = masking.apply_mask(complete, mask_method)
+    tpmask = (view[..., 6:7] != 0).astype(view.dtype)
+    return jnp.concatenate([view, tpmask], -1), mask
+
+
+def estimate_pose_via_completion(
+    scnet_fn: Callable,
+    data_s: dict,
+    data_t: dict,
+    key,
+    hp_table: SolverHyperParams,
+    cfg: PipelineConfig,
+    T_init: Optional[jnp.ndarray] = None,
+):
+    """Run the full recurrent algorithm for one pano pair.
+
+    scnet_fn: [2, H, W, 16] -> [2, H, W, num_output] (completion net with
+    parameters bound).  data_s/data_t: dicts with 'rgb' [H, W, 3] in [0,1],
+    'norm' [H, W, 3], 'depth' [H, W]; for scannet also 'rgb_full'
+    [480, 640, 3] in [0,1].  hp_table: SolverHyperParams whose sigma fields
+    are [alter_steps] arrays (per-step values, evaluation.py:96-100) or
+    scalars.  Returns T [4, 4].
+
+    vmap over a leading pair axis to batch; every op inside is fixed-shape.
+    """
+    lay = cfg.layout
+    f_lo, f_hi = lay.spans["f"]
+
+    view_s, mask_s = make_view(data_s["rgb"], data_s["norm"],
+                               data_s["depth"], cfg.mask_method)
+    view_t, mask_t = make_view(data_t["rgb"], data_t["norm"],
+                               data_t["depth"], cfg.mask_method)
+
+    gray_full_s = gray_full_t = None
+    if config.canonical_dataset(cfg.dataset) == "scannet":
+        gray_full_s = rgb_to_gray(data_s["rgb_full"] * 255.0)
+        gray_full_t = rgb_to_gray(data_t["rgb_full"] * 255.0)
+
+    T = jnp.eye(4) if T_init is None else T_init
+    step_keys = jax.random.split(key, cfg.alter_steps)
+
+    def sigma_at(val, i):
+        val = jnp.asarray(val)
+        return val[i] if val.ndim > 0 else val
+
+    for step in range(cfg.alter_steps):
+        view_t2s = warp.warp_view(view_t, rotation.inverse_se3(T),
+                                  cfg.dataset)
+        view_s2t = warp.warp_view(view_s, T, cfg.dataset)
+        inp = jnp.stack([
+            jnp.concatenate([view_s, view_t2s], -1),
+            jnp.concatenate([view_t, view_s2t], -1),
+        ])
+        f = scnet_fn(inp)
+        f0, f1 = f[0], f[1]
+
+        def composite(fv, mask, data):
+            nrm = (1.0 - mask) * fv[..., 3:6] + mask * data["norm"]
+            nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + _EPS)
+            depth = (1.0 - mask[..., 0]) * fv[..., 6] \
+                + mask[..., 0] * data["depth"]
+            rgb = mask * data["rgb"] * 255.0
+            return rgb, nrm, depth
+
+        rgb_sc, nrm_sc, dep_sc = composite(f0, mask_s, data_s)
+        rgb_tc, nrm_tc, dep_tc = composite(f1, mask_t, data_t)
+        feat_s = f0[..., f_lo:f_hi]
+        feat_t = f1[..., f_lo:f_hi]
+
+        prim_s, prim_t = primitives.extract_primitives(
+            rgb_sc, rgb_tc, dep_sc, dep_tc, nrm_sc, nrm_tc, feat_s, feat_t,
+            step_keys[step], cfg.keypoints, cfg.dataset, cfg.mask_method,
+            do_completion=cfg.completion,
+            gray_full_s=gray_full_s, gray_full_t=gray_full_t)
+
+        hp_step = SolverHyperParams(
+            sigma_angle1=sigma_at(hp_table.sigma_angle1, step),
+            sigma_angle2=sigma_at(hp_table.sigma_angle2, step),
+            sigma_dist=sigma_at(hp_table.sigma_dist, step),
+            sigma_feat=sigma_at(hp_table.sigma_feat, step),
+            dist_thre=hp_table.dist_thre,
+            dist_sep_thre=hp_table.dist_sep_thre,
+            angle_thre=hp_table.angle_thre,
+            mu=hp_table.mu,
+        )
+        T = estimate_relative_pose(prim_s, prim_t, hp_step, cfg.solver)
+
+    return T
+
+
+def batched_pose_estimator(scnet_fn, cfg: PipelineConfig):
+    """vmap'd pipeline over a leading pair axis.
+
+    Returns fn(data_s, data_t, keys, hp_table) -> [B, 4, 4] where each dict
+    field has a leading batch dim and keys is [B, 2] PRNG keys.
+    """
+
+    def single(ds, dt, key, hp):
+        return estimate_pose_via_completion(scnet_fn, ds, dt, key, hp, cfg)
+
+    return jax.vmap(single, in_axes=(0, 0, 0, None))
