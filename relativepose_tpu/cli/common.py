@@ -1,0 +1,51 @@
+"""Shared CLI plumbing: the training argument surface of the reference
+(opts.py:8-46 + utils/train_op.py:93-132) mapped onto the TPU stack."""
+
+from __future__ import annotations
+
+import argparse
+
+from relativepose_tpu import config
+
+
+def add_common_training_args(p: argparse.ArgumentParser):
+    p.add_argument("--exp", type=str, required=False, default="dev",
+                   help="experiment name (experiments/exp_<name>)")
+    p.add_argument("--dataList", type=str, default="matterport3dv1",
+                   help="suncgv3 | scannetv1 | matterport3dv1 | synthetic")
+    p.add_argument("--listPath", type=str, default=None,
+                   help="path to the dataList .npy (real datasets)")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_epoch", type=int, default=1000)
+    p.add_argument("--maskMethod", type=str, default="second")
+    p.add_argument("--outputType", type=str, default="rgbdnsf")
+    p.add_argument("--snumclass", type=int, default=None)
+    p.add_argument("--featureDim", type=int, default=32)
+    p.add_argument("--skipLayer", type=int, default=1)
+    p.add_argument("--useTanh", type=int, default=1)
+    p.add_argument("--batchnorm", type=int, default=1)
+    p.add_argument("--featurelearning", type=int, default=0)
+    p.add_argument("--GeometricWeight", type=int, default=0)
+    p.add_argument("--dynamicWeighting", type=int, default=0)
+    p.add_argument("--pnloss", type=int, default=0)
+    p.add_argument("--D", type=float, default=0.5)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--rm", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--bf16", type=int, default=1,
+                   help="bfloat16 compute for the conv nets")
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--model_parallel", type=int, default=1)
+    return p
+
+
+def resolve_dataset(args):
+    name = args.dataList
+    if "synthetic" in name:
+        ds = getattr(args, "synthetic_family", "suncg")
+    else:
+        ds = config.canonical_dataset(name)
+    if args.snumclass is None:
+        args.snumclass = config.NUM_CLASSES[ds]
+    mask = "kinect" if ds == "scannet" else args.maskMethod
+    return ds, mask

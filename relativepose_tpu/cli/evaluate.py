@@ -1,0 +1,139 @@
+"""Evaluation driver (mirrors evaluation.py).
+
+Usage (synthetic scenes, oracle completion):
+    python -m relativepose_tpu.cli.evaluate --dataList synthetic \
+        --synthetic_family suncg --method ours --maxIter 100
+
+With a trained completion checkpoint:
+    python -m relativepose_tpu.cli.evaluate --dataList suncgv3 \
+        --listPath data/dataList/suncgv3.npy --method ours \
+        --comp_ckpt experiments/exp_comp_suncg/params --para <sigma.txt>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relativepose_tpu import config
+from relativepose_tpu.config import ChannelLayout
+from relativepose_tpu.data import datasets as dsets
+from relativepose_tpu.eval import harness
+from relativepose_tpu.match.keypoints import KeypointConfig
+from relativepose_tpu.pipeline import PipelineConfig
+
+
+def _parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataList", type=str, default="matterport3dv1")
+    p.add_argument("--listPath", type=str, default=None)
+    p.add_argument("--synthetic_family", type=str, default="suncg")
+    p.add_argument("--method", type=str, default="ours",
+                   choices=["ours", "ours_nc", "ours_nr", "super4pcs",
+                            "fgs", "gs", "cgs"])
+    p.add_argument("--sigmaDist", type=float, default=0.04)
+    p.add_argument("--sigmaAngle1", type=float, default=0.2615)
+    p.add_argument("--sigmaAngle2", type=float, default=0.2615)
+    p.add_argument("--sigmaFeat", type=float, default=0.01)
+    p.add_argument("--para", type=str, default=None,
+                   help="sigma table txt (rows per recurrence step)")
+    p.add_argument("--maxIter", type=int, default=1000)
+    p.add_argument("--num_repeat", type=int, default=1)
+    p.add_argument("--outputType", type=str, default="rgbdnsf")
+    p.add_argument("--snumclass", type=int, default=None)
+    p.add_argument("--featureDim", type=int, default=32)
+    p.add_argument("--maskMethod", type=str, default="second")
+    p.add_argument("--exp", type=str, default="eval")
+    p.add_argument("--rm", action="store_true")
+    p.add_argument("--entrySplit", type=int, default=None)
+    p.add_argument("--batch_pairs", type=int, default=4)
+    p.add_argument("--comp_ckpt", type=str, default=None)
+    p.add_argument("--bf16", type=int, default=1)
+    args = p.parse_args(argv)
+    if "synthetic" in args.dataList:
+        args.family = args.synthetic_family
+    else:
+        args.family = config.canonical_dataset(args.dataList)
+    if args.snumclass is None:
+        args.snumclass = config.NUM_CLASSES[args.family]  # evaluation.py:75
+    if args.family == "scannet":
+        args.maskMethod = "kinect"
+    return args
+
+
+def scnet_fn_factory_from_checkpoint(args, layout: ChannelLayout):
+    """Completion net bound to checkpoint params; falls back to the GT
+    oracle when no checkpoint is given (synthetic runs)."""
+    if args.comp_ckpt:
+        from relativepose_tpu.models import SCNet
+        from relativepose_tpu.utils.checkpoint import CheckpointManager
+        state = CheckpointManager(args.comp_ckpt).restore()
+        if state is None:
+            raise FileNotFoundError(args.comp_ckpt)
+        params = state["params"]
+        net = SCNet(output_type=args.outputType, snumclass=args.snumclass,
+                    feature_dim=args.featureDim,
+                    dtype=jnp.bfloat16 if args.bf16 else None)
+
+        def factory(data_s, data_t):
+            def fn(x):
+                return net.apply({"params": params}, x).astype(jnp.float32)
+            return fn
+
+        return factory
+
+    from relativepose_tpu.pipeline.oracle import make_oracle_completion_fn
+
+    def factory(data_s, data_t):
+        return make_oracle_completion_fn(data_s, data_t, layout)
+
+    return factory
+
+
+def main(argv=None):
+    args = _parse_args(argv)
+    sigma_table = np.loadtxt(args.para).reshape(-1, 4) if args.para else \
+        np.tile([args.sigmaAngle1, args.sigmaAngle2, args.sigmaDist,
+                 args.sigmaFeat], (3, 1))
+    cfg = harness.EvalConfig(
+        dataset=args.family, method=args.method, exp=args.exp,
+        max_iter=args.maxIter, num_repeat=args.num_repeat,
+        batch_pairs=args.batch_pairs, resume=not args.rm,
+        sigma_table=sigma_table)
+
+    if args.method in harness.CLASSICAL_METHODS:
+        from relativepose_tpu.eval import baselines
+        return baselines.run_classical_eval(args, cfg)
+
+    pipe_cfg = PipelineConfig(
+        dataset=args.family, mask_method=args.maskMethod,
+        alter_steps=cfg.alter_steps, completion=cfg.completion,
+        output_type=args.outputType, snumclass=args.snumclass,
+        feature_dim=args.featureDim, keypoints=KeypointConfig())
+    layout = pipe_cfg.layout
+    factory = scnet_fn_factory_from_checkpoint(args, layout)
+    eval_fn = jax.jit(harness.make_batched_eval_fn(factory, cfg, pipe_cfg))
+
+    if "synthetic" in args.dataList:
+        source = dsets.SyntheticPairs(args.family,
+                                      n=min(args.maxIter, 1000))
+    else:
+        source = dsets.PanoPairDataset(
+            args.family, "test", args.listPath,
+            entry_split=args.entrySplit)
+
+    runner = None
+    for _ in range(args.num_repeat):
+        pairs = dsets.batched(source, args.batch_pairs)
+        runner = harness.evaluate_stream(pairs, eval_fn, cfg)
+        runner.print_stats()
+    print(json.dumps(runner.summary()))
+    return runner
+
+
+if __name__ == "__main__":
+    main()

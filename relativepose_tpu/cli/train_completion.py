@@ -1,0 +1,104 @@
+"""Pano-completion training driver (mirrors mainPanoCompletion2view.py).
+
+Usage:
+    python -m relativepose_tpu.cli.train_completion --exp comp_suncg \
+        --dataList synthetic --synthetic_family suncg --featurelearning 1 \
+        --feat_ckpt experiments/exp_feat_suncg/params
+
+Loads the frozen feature net from a feature-training checkpoint
+(the reference's data/pretrained_model/<ds>.feat.pth.tar).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from relativepose_tpu.cli.common import add_common_training_args, resolve_dataset
+from relativepose_tpu.cli.train_feature import batch_iterator, make_source
+from relativepose_tpu.train import completion, mesh
+from relativepose_tpu.utils.callbacks import CallbackLoc, PeriodicCallback
+from relativepose_tpu.utils.checkpoint import CheckpointManager
+from relativepose_tpu.utils.experiment import ExperimentDirs, parameters_count
+from relativepose_tpu.utils.log import AverageMeter, FileLogger
+from relativepose_tpu.utils.trainer import Trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_training_args(p)
+    p.add_argument("--synthetic_family", type=str, default="suncg")
+    p.add_argument("--train_duration", type=float, default=300.0)
+    p.add_argument("--feat_ckpt", type=str, default=None,
+                   help="feature-net checkpoint dir (frozen netF)")
+    args = p.parse_args(argv)
+    dataset, mask_method = resolve_dataset(args)
+
+    dirs = ExperimentDirs(args.exp, rm=args.rm, resume=args.resume)
+    logf = FileLogger(dirs.log_path)
+    cfg = completion.CompletionTrainConfig(
+        dataset=dataset, mask_method=mask_method,
+        output_type=args.outputType, snumclass=args.snumclass,
+        feature_dim=args.featureDim, use_tanh=bool(args.useTanh),
+        skip_layer=bool(args.skipLayer), batchnorm=bool(args.batchnorm),
+        feature_learning=bool(args.featurelearning),
+        geometric_weight=bool(args.GeometricWeight),
+        dynamic_weighting=bool(args.dynamicWeighting),
+        pn_loss=bool(args.pnloss), margin=args.D,
+        dtype=jnp.bfloat16 if args.bf16 else None)
+
+    net_f_params = None
+    if args.feat_ckpt:
+        feat_state = CheckpointManager(args.feat_ckpt).restore()
+        if feat_state is not None:
+            net_f_params = feat_state["params"]["net_f"]
+            logf("loaded frozen netF weights")
+    state = completion.init_state(jax.random.PRNGKey(0), cfg, net_f_params)
+    parameters_count(state["params"], "netG")
+    ckpt = CheckpointManager(dirs.params_dir, keep=3)
+    if args.resume:
+        state, ok = ckpt.restore_into(state)
+        logf(f"resume: {'ok' if ok else 'no checkpoint found'}")
+
+    m = mesh.make_mesh(args.num_devices, args.model_parallel)
+    state = mesh.shard_train_state(state, m, args.model_parallel > 1)
+    step_jit = jax.jit(completion.make_train_step(cfg))
+    eval_jit = jax.jit(lambda s, b, k: completion.loss_fn(
+        s["params"], s["net_f_params"], b, k, cfg)[1])
+    key = jax.random.PRNGKey(1)
+    meter = AverageMeter()
+
+    def step_fn(batch, mode):
+        nonlocal state, key
+        key, sub = jax.random.split(key)
+        batch = mesh.shard_batch(batch, m)
+        if mode == "train":
+            state, metrics = step_jit(state, batch, sub)
+        else:
+            metrics = eval_jit(state, batch, sub)
+        meter.update(float(metrics["loss"]))
+        return metrics
+
+    train_src = make_source(args, "train", dataset)
+    val_src = make_source(args, "test", dataset)
+
+    def save_cb(context):
+        ckpt.save(context["epoch"], jax.device_get(state))
+        logf(f"epoch {context['epoch']}: checkpoint saved; "
+             f"avg loss {meter.avg:.6f}")
+
+    trainer = Trainer(
+        step_fn=step_fn,
+        train_loader=batch_iterator(train_src, args, dataset, 0),
+        val_loader=batch_iterator(val_src, args, dataset, 1),
+        max_epoch=args.max_epoch,
+        train_duration=args.train_duration,
+        callbacks=[PeriodicCallback(CallbackLoc.epoch_end, 5, save_cb)],
+    )
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

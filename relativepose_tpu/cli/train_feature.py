@@ -1,0 +1,139 @@
+"""Feature-network training driver (mirrors mainFeatureLearning.py).
+
+Usage:
+    python -m relativepose_tpu.cli.train_feature --exp feat_suncg \
+        --dataList synthetic --synthetic_family suncg --featurelearning 1
+
+Real datasets: pass --dataList suncgv3 --listPath data/dataList/suncgv3.npy
+with the reference's on-disk layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relativepose_tpu.cli.common import add_common_training_args, resolve_dataset
+from relativepose_tpu.data import datasets as dsets
+from relativepose_tpu.data import pipeline as dpipe
+from relativepose_tpu.train import feature, mesh
+from relativepose_tpu.utils.checkpoint import CheckpointManager
+from relativepose_tpu.utils.experiment import ExperimentDirs, parameters_count
+from relativepose_tpu.utils.log import AverageMeter, FileLogger
+from relativepose_tpu.utils.trainer import Trainer
+
+
+def make_source(args, split: str, dataset: str):
+    if "synthetic" in args.dataList:
+        n = 64 if args.debug else 2048
+        return dsets.SyntheticPairs(dataset, n=n,
+                                    seed=0 if split == "train" else 10_000)
+    return dsets.PanoPairDataset(dataset, split, args.listPath)
+
+
+def batch_iterator(source, args, dataset: str, key_seed: int):
+    """Host loader -> device-side sample assembly (denseCorres on TPU)."""
+    rng = np.random.RandomState(key_seed)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def assemble(rgb, norm, depth, poses, segm, key):
+        return jax.vmap(
+            lambda r, n, d, p, s, k: dpipe.assemble_pair_batch(
+                r, n, d, p, s, k, dataset, feature_learning=True)
+        )(rgb, norm, depth, poses, segm, key)
+
+    def gen():
+        order = rng.permutation(len(source))
+        buf = []
+        for i in order:
+            item = source[int(i)]
+            buf.append(item)
+            if len(buf) == args.batch_size:
+                stack = lambda f: jnp.asarray(np.stack(
+                    [np.stack([b["data_s"][f], b["data_t"][f]]) for b in buf]))
+                keys = jax.random.split(
+                    jax.random.PRNGKey(rng.randint(2**31)), len(buf))
+                yield assemble(stack("rgb"), stack("norm"), stack("depth"),
+                               jnp.asarray(np.stack(
+                                   [np.stack([b["data_s"]["pose"],
+                                              b["data_t"]["pose"]])
+                                    for b in buf])).astype(jnp.float32),
+                               stack("segm"), keys)
+                buf = []
+
+    class _Loader:
+        def __iter__(self):
+            return gen()
+
+    return _Loader()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_training_args(p)
+    p.add_argument("--synthetic_family", type=str, default="suncg")
+    p.add_argument("--train_duration", type=float, default=300.0)
+    args = p.parse_args(argv)
+    dataset, mask_method = resolve_dataset(args)
+
+    dirs = ExperimentDirs(args.exp, rm=args.rm, resume=args.resume)
+    logf = FileLogger(dirs.log_path)
+    cfg = feature.FeatureTrainConfig(
+        snumclass=args.snumclass, feature_dim=args.featureDim,
+        use_tanh=bool(args.useTanh), margin=args.D,
+        featlearn_segm=bool(getattr(args, "featlearnSegm", 0)),
+        dtype=jnp.bfloat16 if args.bf16 else None)
+
+    state = feature.init_state(jax.random.PRNGKey(0), cfg)
+    parameters_count(state["params"]["net_f"], "netF")
+    ckpt = CheckpointManager(dirs.params_dir, keep=3)
+    if args.resume:
+        state, ok = ckpt.restore_into(state)
+        logf(f"resume: {'ok' if ok else 'no checkpoint found'}")
+
+    m = mesh.make_mesh(args.num_devices, args.model_parallel)
+    state = mesh.shard_train_state(state, m, args.model_parallel > 1)
+    step_jit = jax.jit(feature.make_train_step(cfg))
+    eval_jit = jax.jit(
+        lambda params, batch, k: feature.loss_fn(params, batch, k, cfg)[1])
+    key = jax.random.PRNGKey(1)
+    meter = AverageMeter()
+
+    def step_fn(batch, mode):
+        nonlocal state, key
+        key, sub = jax.random.split(key)
+        batch = mesh.shard_batch(batch, m)
+        if mode == "train":
+            state, metrics = step_jit(state, batch, sub)
+        else:
+            metrics = eval_jit(state["params"], batch, sub)
+        if "loss" in metrics:
+            meter.update(float(metrics["loss"]))
+        return metrics
+
+    train_src = make_source(args, "train", dataset)
+    val_src = make_source(args, "test", dataset)
+
+    def save_cb(context):
+        ckpt.save(context["epoch"], jax.device_get(state))
+        logf(f"epoch {context['epoch']}: saved checkpoint; "
+             f"avg loss {meter.avg:.6f}")
+
+    from relativepose_tpu.utils.callbacks import CallbackLoc, PeriodicCallback
+    trainer = Trainer(
+        step_fn=step_fn,
+        train_loader=batch_iterator(train_src, args, dataset, 0),
+        val_loader=batch_iterator(val_src, args, dataset, 1),
+        max_epoch=args.max_epoch,
+        train_duration=args.train_duration,
+        callbacks=[PeriodicCallback(CallbackLoc.epoch_end, 5, save_cb)],
+    )
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Dataset adapters: SUNCG / Matterport3D / ScanNet pair loaders.
+
+Host-side adapters reading the reference's on-disk layout
+(datasets/SUNCG.py:243-312, Matterport3D.py, ScanNet.py):
+
+    <base>/depth/NNNNNN.png          uint16 depth (mm; /1000 -> meters)
+    <base>/rgb/NNNNNN.png            BGR color
+    <base>/normal/NNNNNN.png         normals ([0,255] -> [-1,1])
+    <base>/semanticLabel/NNNNNN.png  class index in channel 0 (ch 1 scannet)
+    <base>/pose/NNNNNN.pose.txt      4x4 world->camera pose
+    data/dataList/<list>.npy         {'train'/'test': [{'base', 'id_src',
+                                      'id_tgt'}, ...]}
+
+The adapters ONLY do file IO + decode; all per-sample math (masking, dense
+correspondences, reprojection augmentation) runs on device via
+`relativepose_tpu.data.pipeline.assemble_pair_batch`.  A `SyntheticPairs`
+source with the same interface backs tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from relativepose_tpu import config
+from relativepose_tpu.core import quaternion as quat
+
+try:
+    import cv2
+except Exception:  # pragma: no cover - cv2 is present in the dev image
+    cv2 = None
+
+
+def _imread_depth(path):
+    img = cv2.imread(path, 2)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img.astype(np.float32) / 1000.0  # SUNCG.py:83
+
+
+def _imread_color(path):
+    img = cv2.imread(path)  # BGR, like the reference
+    if img is None:
+        raise FileNotFoundError(path)
+    return img.astype(np.float32) / 255.0
+
+
+def _imread_normal(path):
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img.astype(np.float32) / 255.0 * 2.0 - 1.0  # SUNCG.py:301
+
+
+@dataclasses.dataclass
+class PairRecord:
+    base: str
+    id_src: int
+    id_tgt: int
+
+
+class PanoPairDataset:
+    """Common loader for the three datasets (they share the layout; only
+    the semantic channel and the scannet full-frame extras differ)."""
+
+    def __init__(self, dataset: str, split: str, list_path: str,
+                 entry_split: Optional[int] = None,
+                 fullsize_rgbdn: bool = False, snumclass: Optional[int] = None):
+        self.dataset = config.canonical_dataset(dataset)
+        self.fullsize_rgbdn = fullsize_rgbdn or self.dataset == "scannet"
+        self.snumclass = snumclass or config.NUM_CLASSES[self.dataset]
+        raw = np.load(list_path, allow_pickle=True).item()[split]
+        self.records = [
+            PairRecord(r["base"], int(r["id_src"]), int(r["id_tgt"]))
+            for r in raw]
+        if entry_split is not None:  # evaluation sharding (SUNCG.py:68-69)
+            lo, hi = entry_split * 100, (entry_split + 1) * 100
+            self.records = self.records[lo:hi]
+
+    def __len__(self):
+        return len(self.records)
+
+    def __getitem__(self, index: int) -> dict:
+        rec = self.records[index]
+        views = []
+        for frame in (rec.id_src, rec.id_tgt):
+            fid = f"{frame:06d}"
+            base = rec.base
+            depth = _imread_depth(os.path.join(base, "depth", f"{fid}.png"))
+            rgb = _imread_color(os.path.join(base, "rgb", f"{fid}.png"))
+            norm = _imread_normal(os.path.join(base, "normal", f"{fid}.png"))
+            pose = np.loadtxt(
+                os.path.join(base, "pose", f"{fid}.pose.txt")).reshape(4, 4)
+            seg_path = os.path.join(base, "semanticLabel", f"{fid}.png")
+            segm = np.zeros(depth.shape, np.int32)
+            if os.path.exists(seg_path):
+                seg_img = cv2.imread(seg_path)
+                ch = 1 if self.dataset == "scannet" else 0  # ScanNet.py:251
+                segm = seg_img[..., ch].astype(np.int32)
+                segm[segm >= self.snumclass] = 0  # Matterport3D.py:237-247
+            view = dict(rgb=rgb, depth=depth, norm=norm, segm=segm,
+                        pose=pose.astype(np.float32))
+            if self.fullsize_rgbdn:
+                rf = os.path.join(base, "obs_rgb", f"{fid}.png")
+                df = os.path.join(base, "obs_depth", f"{fid}.png")
+                if os.path.exists(rf):
+                    view["rgb_full"] = _imread_color(rf)
+                    view["depth_full"] = _imread_depth(df)
+            views.append(view)
+        data_s, data_t = views
+        T_gt = (views[1]["pose"]
+                @ np.linalg.inv(views[0]["pose"])).astype(np.float32)
+        q = np.zeros((2, 7), np.float32)
+        for i, v in enumerate(views):
+            import jax.numpy as jnp
+            q[i, :4] = np.asarray(
+                quat.rot_to_quaternion(jnp.asarray(v["pose"][:3, :3])))
+            q[i, 4:] = v["pose"][:3, 3]
+        return dict(data_s=data_s, data_t=data_t, T_gt=T_gt, Q=q,
+                    imgs_path=(f"{rec.base}/{rec.id_src:06d}",
+                               f"{rec.base}/{rec.id_tgt:06d}"))
+
+
+class SyntheticPairs:
+    """Synthetic drop-in with the same item contract (tests/benchmarks)."""
+
+    def __init__(self, dataset: str = "suncg", n: int = 100, seed: int = 0,
+                 max_baseline: float = 0.8):
+        self.dataset = dataset
+        self.n = n
+        self.seed = seed
+        self.max_baseline = max_baseline
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int) -> dict:
+        from relativepose_tpu.data import synthetic
+        ds, dt, T_gt = synthetic.make_pair(
+            self.seed + index, self.dataset, max_baseline=self.max_baseline)
+        return dict(data_s=ds, data_t=dt, T_gt=T_gt.astype(np.float32),
+                    Q=None, imgs_path=(f"synthetic/{index}/src",
+                                       f"synthetic/{index}/tgt"))
+
+
+def batched(source, batch: int, fields=("rgb", "norm", "depth", "segm"),
+            extra_fields=("rgb_full", "depth_full")) -> Iterator:
+    """Stack items into (data_s, data_t, T_gt) batch pytrees for the
+    batched eval path."""
+    import jax.numpy as jnp
+
+    def stack_views(items, which):
+        out = {}
+        keys = list(fields) + [f for f in extra_fields
+                               if f in items[0][which]]
+        for f in keys:
+            out[f] = jnp.asarray(
+                np.stack([it[which][f] for it in items]))
+        return out
+
+    buf = []
+    for i in range(len(source)):
+        buf.append(source[i])
+        if len(buf) == batch:
+            yield (stack_views(buf, "data_s"), stack_views(buf, "data_t"),
+                   jnp.asarray(np.stack([it["T_gt"] for it in buf])))
+            buf = []

@@ -1,0 +1,99 @@
+"""Classical registration baselines (super4pcs / gs / fgs / cgs).
+
+Dispatches to the native C++ module (`cpp/`, loaded via ctypes) that
+re-implements the capabilities the reference gets from the external
+Super4PCS binary and Open3D (baselines.py:10-168): voxel downsampling,
+normal estimation, FPFH features, RANSAC global registration, fast global
+registration, and colored ICP.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from relativepose_tpu.eval import harness
+
+
+def _native():
+    from relativepose_tpu.native import registration
+    return registration
+
+
+def super4pcs(pc_src, pc_tgt, overlap: float = 0.5, delta: float = 0.1,
+              time_budget_s: float = 240.0, n_points: int = 200):
+    """4PCS-style congruent-set registration (baselines.py:10-35 CLI args:
+    -o 0.5 -d 0.1 -t 1000 -n 200).  Identity fallback on failure."""
+    try:
+        return _native().super4pcs(pc_src, pc_tgt, overlap, delta,
+                                   time_budget_s, n_points)
+    except Exception:
+        return np.eye(4)
+
+
+def global_registration(pc_src, pc_tgt, voxel: float = 0.05):
+    """FPFH + RANSAC (baselines.py:52-81)."""
+    return _native().global_registration(pc_src, pc_tgt, voxel)
+
+
+def fast_global_registration(pc_src, pc_tgt, voxel: float = 0.05):
+    """FGR-style Geman-McClure optimization (baselines.py:83-103)."""
+    return _native().fast_global_registration(pc_src, pc_tgt, voxel)
+
+
+def colored_registration(pc_src, pc_tgt, color_src, color_tgt,
+                         voxel: float = 0.05):
+    """RANSAC init + multi-scale colored ICP (baselines.py:110-168)."""
+    return _native().colored_registration(pc_src, pc_tgt, color_src,
+                                          color_tgt, voxel)
+
+
+METHODS = {
+    "super4pcs": lambda s, t, cs, ct: super4pcs(s, t),
+    "gs": lambda s, t, cs, ct: global_registration(s, t),
+    "fgs": lambda s, t, cs, ct: fast_global_registration(s, t),
+    "cgs": colored_registration,
+}
+
+
+def run_classical_eval(args, cfg: harness.EvalConfig):
+    """Per-pair host loop for the classical methods (they are CPU-native);
+    mirrors evaluation.py:190-201 incl. the overlap < 0.1 skip."""
+    import jax.numpy as jnp
+
+    from relativepose_tpu.core import overlap as overlap_mod
+    from relativepose_tpu.data import datasets as dsets
+
+    if "synthetic" in args.dataList:
+        source = dsets.SyntheticPairs(args.family, n=min(args.maxIter, 1000))
+    else:
+        source = dsets.PanoPairDataset(args.family, "test", args.listPath,
+                                       entry_split=args.entrySplit)
+    method = METHODS[args.method]
+    runner = harness.EvalRunner(cfg)
+    for i in range(min(len(source), args.maxIter)):
+        item = source[i]
+        d_s, d_t = item["data_s"], item["data_t"]
+        T_gt = jnp.asarray(item["T_gt"])
+        pc_s, val_s, col_s = harness.parse_eval_data(
+            jnp.asarray(d_s["depth"]), jnp.asarray(d_s["rgb"]),
+            jnp.asarray(d_s["norm"]), args.family, args.method)
+        pc_t, val_t, col_t = harness.parse_eval_data(
+            jnp.asarray(d_t["depth"]), jnp.asarray(d_t["rgb"]),
+            jnp.asarray(d_t["norm"]), args.family, args.method)
+        ov = overlap_mod.point_cloud_overlap(pc_s, val_s, pc_t, val_t, T_gt)
+        if float(ov["overlap"]) < 0.1:  # evaluation.py:190-191
+            continue
+        ps = np.asarray(pc_s)[np.asarray(val_s)]
+        pt = np.asarray(pc_t)[np.asarray(val_t)]
+        cs = np.asarray(col_s)[np.asarray(val_s)]
+        ct = np.asarray(col_t)[np.asarray(val_t)]
+        T_hat = np.asarray(method(ps, pt, cs, ct), np.float32)
+        errs = harness.pose_errors(jnp.asarray(T_hat), T_gt, pc_s, val_s)
+        runner.record({
+            "overlap": float(ov["overlap"]),
+            "cam_dist": float(ov["cam_dist"]),
+            "pc_dist": float(ov["pc_dist"]), "pc_nn": float(ov["pc_nn"]),
+            **{k: float(v) for k, v in errs.items()}, "T_hat": T_hat})
+    runner.save()
+    runner.print_stats()
+    return runner

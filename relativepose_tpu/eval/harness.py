@@ -1,0 +1,233 @@
+"""Evaluation harness: per-overlap-bucket pose-error statistics.
+
+Re-implements evaluation.py:110-333 with the same protocol:
+  * methods: ours / ours_nr (alterStep=1) / ours_nc (completion off) plus
+    the classical baselines (super4pcs / gs / fgs / cgs, dispatched to the
+    native C++ module);
+  * GT relative pose R_gt = R_tgt @ inv(R_src) (evaluation.py:173-176);
+  * overlap buckets {0-0.1, 0.1-0.5, 0.5-1.0}; classical methods skip
+    pairs with overlap < 0.1 (evaluation.py:190-191);
+  * rotation error = geodesic degrees; translation error =
+    ||(R_hat - R_gt) @ mean(pc_src) + t_hat - t_gt|| (evaluation.py:294-297)
+    plus the 'blind' identity-pose baselines;
+  * results appended to `<exp>.result.npy` every `save_every` pairs with
+    resume-by-count (evaluation.py:129-133, :319-320).
+
+Unlike the reference (one pair at a time, host round trips), the `ours*`
+path batches `batch_pairs` pano pairs through the jitted recurrent pipeline
+per device step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relativepose_tpu.core import overlap as overlap_mod
+from relativepose_tpu.core import skybox
+from relativepose_tpu.core.rotation import angular_distance
+from relativepose_tpu.match.solver import SolverHyperParams
+from relativepose_tpu.pipeline import PipelineConfig, estimate_pose_via_completion
+
+OVERLAP_BUCKETS = ("0-0.1", "0.1-0.5", "0.5-1.0")
+CLASSICAL_METHODS = ("super4pcs", "fgs", "gs", "cgs")
+
+
+def bucket_of(overlap_val: float) -> str:
+    return ("0-0.1" if overlap_val <= 0.1
+            else "0.1-0.5" if overlap_val <= 0.5 else "0.5-1.0")
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    dataset: str = "suncg"
+    method: str = "ours"
+    exp: str = "eval"
+    out_dir: str = "tmp/rpe"
+    max_iter: int = 1000
+    num_repeat: int = 1
+    save_every: int = 100
+    batch_pairs: int = 4
+    resume: bool = True
+    sigma_table: Optional[np.ndarray] = None  # [steps, 4] like --para files
+
+    @property
+    def alter_steps(self) -> int:
+        return 1 if self.method == "ours_nr" else 3  # evaluation.py:73
+
+    @property
+    def completion(self) -> bool:
+        return self.method != "ours_nc"  # evaluation.py:74
+
+
+def default_sigma_table(dataset: str) -> np.ndarray:
+    """Tuned rlevel-3 sigma tables shipped by the reference
+    (data/relativePoseModule/final_param_*_rlevel_3.txt)."""
+    import relativepose_tpu
+    root = os.path.join(os.path.dirname(relativepose_tpu.__file__), "data",
+                        "params")
+    from relativepose_tpu.config import canonical_dataset
+    path = os.path.join(root, f"final_param_{canonical_dataset(dataset)}"
+                        "_rlevel_3.txt")
+    if os.path.exists(path):
+        return np.loadtxt(path).reshape(-1, 4)
+    return np.tile([0.2615, 0.2615, 0.04, 0.01], (3, 1))
+
+
+def hyper_params_from_table(table: Optional[np.ndarray]) -> SolverHyperParams:
+    if table is None:
+        return SolverHyperParams(sigma_angle1=0.2615, sigma_angle2=0.2615,
+                                 sigma_dist=0.04, sigma_feat=0.01)
+    t = jnp.asarray(table, jnp.float32)
+    return SolverHyperParams(sigma_angle1=t[:, 0], sigma_angle2=t[:, 1],
+                             sigma_dist=t[:, 2], sigma_feat=t[:, 3])
+
+
+def parse_eval_data(depth, rgb, norm, dataset: str, method: str):
+    """Observed-region point clouds + colors for overlap / baselines.
+
+    Mirrors util.parse_data (util.py:42-92): suncg/matterport use the
+    second 160x160 face; scannet 'ours' uses the 66x88 kinect crop.
+    Fixed-shape: returns (pc [N, 3], valid [N], color [N, 3]).
+    """
+    from relativepose_tpu import config
+    ds = config.canonical_dataset(dataset)
+    F = config.FACE
+    if ds in ("suncg", "matterport"):
+        d = depth[:, F:2 * F]
+        c = rgb[:, F:2 * F].reshape(-1, 3)
+        pc, valid = skybox.face_depth_to_pointcloud(d, ds)
+    else:
+        r0, r1 = config.KINECT_ROW0, config.KINECT_ROW1
+        c0, c1 = config.KINECT_COL0, config.KINECT_COL1
+        d = depth[r0:r1, c0:c1]
+        c = rgb[r0:r1, c0:c1].reshape(-1, 3)
+        pc, valid = skybox.kinect_crop_to_pointcloud(d)
+    return pc, valid, c
+
+
+def pose_errors(T_hat, T_gt, pc_src, src_valid):
+    """Rotation geodesic + translation error (evaluation.py:291-297)."""
+    R_hat, t_hat = T_hat[:3, :3], T_hat[:3, 3]
+    R_gt, t_gt = T_gt[:3, :3], T_gt[:3, 3]
+    err_ad = angular_distance(R_hat, R_gt)
+    err_blind = angular_distance(R_gt, jnp.eye(3))
+    w = src_valid.astype(pc_src.dtype)
+    mean_pc = jnp.sum(pc_src * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)
+    err_t = jnp.linalg.norm((R_hat - R_gt) @ mean_pc + t_hat - t_gt)
+    err_t_blind = jnp.linalg.norm(t_hat - t_gt)
+    return {"err_ad": err_ad, "err_blind": err_blind, "err_t": err_t,
+            "err_t_blind": err_t_blind}
+
+
+def make_batched_eval_fn(scnet_fn_factory: Callable, cfg: EvalConfig,
+                         pipe_cfg: PipelineConfig):
+    """Jitted per-pair eval: pipeline pose + overlap + errors, vmapped."""
+    hp = hyper_params_from_table(
+        cfg.sigma_table if cfg.sigma_table is not None
+        else default_sigma_table(cfg.dataset))
+
+    def one_pair(data_s, data_t, T_gt, key):
+        scnet_fn = scnet_fn_factory(data_s, data_t)
+        T_hat = estimate_pose_via_completion(
+            scnet_fn, data_s, data_t, key, hp, pipe_cfg)
+        pc_s, val_s, _ = parse_eval_data(
+            data_s["depth"], data_s["rgb"], data_s["norm"], cfg.dataset,
+            cfg.method)
+        pc_t, val_t, _ = parse_eval_data(
+            data_t["depth"], data_t["rgb"], data_t["norm"], cfg.dataset,
+            cfg.method)
+        ov = overlap_mod.point_cloud_overlap(pc_s, val_s, pc_t, val_t, T_gt)
+        errs = pose_errors(T_hat, T_gt, pc_s, val_s)
+        return {"T_hat": T_hat, "overlap": ov["overlap"],
+                "cam_dist": ov["cam_dist"], "pc_dist": ov["pc_dist"],
+                "pc_nn": ov["pc_nn"], **errs}
+
+    return jax.vmap(one_pair, in_axes=(0, 0, 0, 0))
+
+
+class EvalRunner:
+    """Streaming evaluation with bucket statistics and resume-by-count."""
+
+    def __init__(self, cfg: EvalConfig):
+        self.cfg = cfg
+        self.exp_dir = os.path.join(cfg.out_dir, cfg.exp)
+        os.makedirs(self.exp_dir, exist_ok=True)
+        self.result_path = os.path.join(self.exp_dir,
+                                        f"{cfg.exp}.result.npy")
+        self.error_stats = []
+        if cfg.resume and os.path.exists(self.result_path):
+            self.error_stats = list(
+                np.load(self.result_path, allow_pickle=True))
+        self.ad_stats = {b: [] for b in OVERLAP_BUCKETS}
+        self.t_stats = {b: [] for b in OVERLAP_BUCKETS}
+        self.speed = []
+
+    @property
+    def completed_runs(self) -> int:
+        # resume-by-count (evaluation.py:132-133)
+        return len(self.error_stats) // max(self.cfg.save_every, 1)
+
+    def record(self, result: dict):
+        b = bucket_of(float(result["overlap"]))
+        self.ad_stats[b].append(float(result["err_ad"]))
+        self.t_stats[b].append(float(result["err_t"]))
+        self.error_stats.append(result)
+        if len(self.error_stats) % self.cfg.save_every == 0:
+            self.save()
+            self.print_stats()
+
+    def save(self):
+        np.save(self.result_path, np.asarray(self.error_stats, dtype=object))
+
+    def print_stats(self):
+        for name, stats in (("rotation", self.ad_stats),
+                            ("translation", self.t_stats)):
+            line = ""
+            for b in OVERLAP_BUCKETS:
+                vals = stats[b]
+                mean = np.mean(vals) if vals else float("nan")
+                line += (f"{name}, overlap:{b}, nobs:{len(vals)}, "
+                         f"mean:{mean:.4f}  ")
+            print(line)
+
+    def summary(self):
+        out = {}
+        for b in OVERLAP_BUCKETS:
+            out[f"rot_{b}"] = (float(np.mean(self.ad_stats[b]))
+                               if self.ad_stats[b] else None)
+            out[f"trans_{b}"] = (float(np.mean(self.t_stats[b]))
+                                 if self.t_stats[b] else None)
+        if self.speed:
+            out["sec_per_pair"] = float(np.mean(self.speed))
+        return out
+
+
+def evaluate_stream(pairs, eval_fn, cfg: EvalConfig, keys=None):
+    """Run the batched eval fn over an iterable of stacked pair batches.
+
+    pairs: iterable of (data_s, data_t, T_gt) pytrees with leading batch
+    dim; yields per-pair result dicts into an EvalRunner and returns it.
+    """
+    runner = EvalRunner(cfg)
+    rng = jax.random.PRNGKey(int(time.time()) % (2**31))
+    for bi, (data_s, data_t, T_gt) in enumerate(pairs):
+        n = T_gt.shape[0]
+        rng, sub = jax.random.split(rng)
+        batch_keys = jax.random.split(sub, n)
+        t0 = time.time()
+        out = jax.device_get(eval_fn(data_s, data_t, T_gt, batch_keys))
+        dt = (time.time() - t0) / n
+        for i in range(n):
+            res = {k: np.asarray(v[i]) for k, v in out.items()}
+            res["sec_per_pair"] = dt
+            runner.speed.append(dt)
+            runner.record(res)
+    runner.save()
+    return runner

@@ -59,6 +59,7 @@ class Resnet18_8s(nn.Module):
     feature_dim: int = 32
     use_tanh: bool = True
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    base_width: int = 64  # stage widths are (w, 2w, 4w, 8w)
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
 
@@ -67,14 +68,15 @@ class Resnet18_8s(nn.Module):
         """x: [N, H, W, num_input] -> [N, H, W, feature_dim]."""
         in_hw = x.shape[-3:-1]
         dt, ax = self.dtype, self.axis_name
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+        w0 = self.base_width
+        y = nn.Conv(w0, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=dt,
                     kernel_init=nn.initializers.xavier_normal())(x)
         y = BatchNorm2d(dtype=dt, axis_name=ax)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        planes = (64, 128, 256, 512)
+        planes = (w0, 2 * w0, 4 * w0, 8 * w0)
         scores = {}
         for stage, (p, blocks) in enumerate(zip(planes, self.stage_sizes)):
             for b in range(blocks):

@@ -1,0 +1,127 @@
+"""Training losses, batched and mask-weighted.
+
+Re-implements the loss zoo of the reference drivers:
+  * contrastive correspondence loss (mainFeatureLearning.py:436-452 /
+    mainPanoCompletion2view.py:429-455): positive L2 pull on 2000 GT
+    correspondences + hinge `relu(D - d^2)` over 100 random negatives each;
+  * masked L1 reconstruction per modality (mainPanoCompletion2view.py:
+    547-567);
+  * weighted softmax cross-entropy x0.1 for semantics (ibid:566);
+  * feature-consistency loss ||f_pred - f_teacher||^2 * dataMask * geow
+    (ibid:544);
+  * plane-normal-depth consistency (util.py:816-859), masked fixed-shape.
+
+Dynamic-shape constructs (the `validCorres` gather, `if len(validCorres)`)
+become validity-weighted means.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from relativepose_tpu import config
+from relativepose_tpu.core import skybox
+
+_EPS = 1e-12
+
+
+def _gather_feat(feat, idx):
+    """feat: [n, H, W, C]; idx: [n, K, 2] (x, y) float -> [n, K, C].
+
+    Integer (floor) lookup, like the reference's `.long()` indexing
+    (mainFeatureLearning.py:437-439)."""
+    n = feat.shape[0]
+    x = idx[..., 0].astype(jnp.int32)
+    y = idx[..., 1].astype(jnp.int32)
+    b = jnp.arange(n)[:, None]
+    return feat[b, y, x]
+
+
+def contrastive_loss(feat_s, feat_t, dense, key, margin: float = 0.5,
+                     n_neg: int = 100):
+    """Contrastive correspondence loss.
+
+    feat_s/feat_t: [n, H, W, C]; dense: dict(idx_src [n, K, 2],
+    idx_tgt [n, K, 2], valid [n]).  Returns (loss, pos, neg) — means over
+    valid samples only (zero when no sample is valid)."""
+    n, h, w, c = feat_s.shape
+    k = dense["idx_src"].shape[1]
+    valid = dense["valid"].astype(feat_s.dtype)  # [n]
+    n_valid = jnp.sum(valid)
+
+    fs = _gather_feat(feat_s, dense["idx_src"])  # [n, K, C]
+    ft = _gather_feat(feat_t, dense["idx_tgt"])
+    pos_d2 = jnp.sum((fs - ft) ** 2, -1)  # [n, K]
+    loss_pos = jnp.sum(pos_d2 * valid[:, None]) / (n_valid * k + _EPS)
+
+    ky, kx = jax.random.split(key)
+    neg_y = jax.random.randint(ky, (n, k, n_neg), 0, h)
+    neg_x = jax.random.randint(kx, (n, k, n_neg), 0, w)
+    b = jnp.arange(n)[:, None, None]
+    f_neg = feat_t[b, neg_y, neg_x]  # [n, K, n_neg, C]
+    neg_d2 = jnp.sum((fs[:, :, None, :] - f_neg) ** 2, -1)
+    hinge = jnp.maximum(margin - neg_d2, 0.0)
+    loss_neg = jnp.sum(hinge * valid[:, None, None]) / (
+        n_valid * k * n_neg + _EPS)
+    return loss_pos + loss_neg, loss_pos, loss_neg
+
+
+def masked_l1(pred, target, weight):
+    """mean(|pred - target| * weight) over ALL elements
+    (mainPanoCompletion2view.py:551: `.abs().mean()` after weighting)."""
+    return jnp.mean(jnp.abs(pred - target) * weight)
+
+
+def weighted_ce(logits, labels, weight, scale: float = 0.1):
+    """Per-pixel CE * weight, mean over all pixels, x0.1
+    (mainPanoCompletion2view.py:566)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
+                              axis=-1)[..., 0]
+    return jnp.mean(ce * weight[..., 0]) * scale
+
+
+def feature_consistency_loss(f_pred, f_teacher, data_mask, geow):
+    """||(f_pred - stopgrad(f_teacher)) * dataMask * geow||^2 summed over
+    channels, mean over pixels (mainPanoCompletion2view.py:544)."""
+    d = (f_pred - jax.lax.stop_gradient(f_teacher)) * data_mask * geow
+    return jnp.mean(jnp.sum(d * d, axis=-1))
+
+
+def plane_normal_loss(depth_gt, normal_pred, plane_pred, dataset: str,
+                      scale: float = 0.1):
+    """Plane-normal-depth consistency (util.py:816-859), masked.
+
+    depth_gt: [n, H, W]; normal_pred: [n, H, W, 3]; plane_pred: [n, H, W]
+    (the reference feeds pred_depth * 4).  For each skybox face, the
+    point from intersecting the pixel ray with the plane (plane_pred as
+    plane offset along the normal) should match the point from depth_gt.
+    """
+    ds = config.canonical_dataset(dataset)
+    if ds == "scannet":
+        raise NotImplementedError(
+            "scannet/skybox pnloss unsupported (util.py:856-858)")
+    rots = skybox.face_rotations(ds, dtype=normal_pred.dtype)
+    F = config.FACE
+    import numpy as np
+    ys, xs = np.meshgrid(range(F), range(F), indexing="ij")
+    xs = jnp.asarray(((xs / F - 0.5) * 2.0).reshape(-1), normal_pred.dtype)
+    ys = jnp.asarray(((0.5 - ys / F) * 2.0).reshape(-1), normal_pred.dtype)
+    ray = jnp.stack([-xs, -ys, jnp.ones_like(xs)], -1)  # [F*F, 3]
+
+    total = 0.0
+    for j in range(4):
+        blk = slice(j * F, (j + 1) * F)
+        z = plane_pred[:, :, blk].reshape(plane_pred.shape[0], -1)
+        mask = (z != 0).astype(z.dtype)
+        n_face = jnp.einsum(
+            "ji,npj->npi", rots[j],
+            normal_pred[:, :, blk].reshape(normal_pred.shape[0], -1, 3))
+        denom = jnp.sum(ray[None] * n_face, -1) + 1e-6
+        pc_pn = (z / denom)[..., None] * ray[None]
+        zd = depth_gt[:, :, blk].reshape(depth_gt.shape[0], -1)
+        pc_d = jnp.stack([xs[None] * zd, ys[None] * zd, -zd], -1)
+        diff = jnp.clip(pc_d - pc_pn, -5.0, 5.0)
+        total = total + jnp.mean(jnp.abs(diff) * mask[..., None])
+    return total * scale

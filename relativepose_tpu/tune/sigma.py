@@ -1,0 +1,128 @@
+"""Sigma-hyperparameter finite-difference trainer.
+
+Re-implements trainRelativePoseModuleRecFD.py:215-298: optimize the 4
+matching sigmas (angle1, angle2, dist, feat) per recurrence level against
+cached matching primitives, using randomized finite differences + lstsq
+gradient estimates and a backtracking line search.
+
+The objective — Sum over pairs of ||R_hat(sigma) - R_gt||_F^2
+(trainRelativePoseModuleRecFD.py:215-233) — is evaluated as ONE jitted
+vmapped solver call over all cached primitive sets, so each of the ~100
+objective evaluations per iteration costs a single device step instead of
+a Python loop over pairs.
+
+Primitives are cached by running the recurrent pipeline once per pair and
+recording the solver-ready keypoint sets at each recurrence level
+(`cache_primitives`), mirroring the reference's
+data/relativePoseModule/final_<ds>_rlevel_<r>.npy cache (ibid:73-212).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relativepose_tpu.match.solver import (
+    SolverHyperParams,
+    SolverStaticConfig,
+    estimate_relative_pose,
+)
+
+
+@dataclasses.dataclass
+class FDConfig:
+    max_iter: int = 30          # trainRelativePoseModuleRecFD.py:244
+    n_perturb: int = 10         # ibid:246
+    perturb_scale: float = 0.1  # +/-10% (ibid:247-252)
+    n_linesearch: int = 10      # ibid:274-288
+    seed: int = 0
+
+
+def make_objective(primitives_s, primitives_t, R_gt,
+                   cfg: Optional[SolverStaticConfig] = None) -> Callable:
+    """objective(sigmas [4]) -> scalar sum of ||R_hat - R_gt||_F^2.
+
+    primitives_*: stacked solver-ready dicts with leading pair axis;
+    R_gt: [P, 3, 3].
+    """
+    cfg = cfg or SolverStaticConfig()
+
+    @jax.jit
+    def objective(sig):
+        hp = SolverHyperParams(
+            sigma_angle1=sig[0], sigma_angle2=sig[1], sigma_dist=sig[2],
+            sigma_feat=sig[3])
+
+        def solve(ds, dt):
+            return estimate_relative_pose(ds, dt, hp, cfg)
+
+        T = jax.vmap(solve)(primitives_s, primitives_t)
+        return jnp.sum((T[:, :3, :3] - R_gt) ** 2)
+
+    return objective
+
+
+def fd_optimize(objective: Callable, sigma0, fd: FDConfig = FDConfig(),
+                log_fn=print):
+    """Randomized finite-difference descent with backtracking line search.
+
+    Returns (best_sigma [4], history list of (loss, sigma))."""
+    rng = np.random.RandomState(fd.seed)
+    sigma = np.asarray(sigma0, np.float64).copy()
+    loss = float(objective(jnp.asarray(sigma, jnp.float32)))
+    history = [(loss, sigma.copy())]
+    for it in range(fd.max_iter):
+        # sample perturbations of +/-10% per coordinate, fit a linear model
+        deltas = (rng.rand(fd.n_perturb, 4) - 0.5) * 2 * fd.perturb_scale
+        deltas = deltas * sigma[None, :]
+        vals = np.array([
+            float(objective(jnp.asarray(sigma + d, jnp.float32)))
+            for d in deltas])
+        grad, *_ = np.linalg.lstsq(deltas, vals - loss, rcond=None)
+        # backtracking line search along -grad
+        gn = np.linalg.norm(grad)
+        if gn < 1e-12:
+            break
+        step = 0.1 * np.linalg.norm(sigma) / gn
+        improved = False
+        for _ in range(fd.n_linesearch):
+            cand = sigma - step * grad
+            if np.all(cand > 0):
+                cand_loss = float(objective(jnp.asarray(cand, jnp.float32)))
+                if cand_loss < loss:
+                    sigma, loss, improved = cand, cand_loss, True
+                    break
+            step *= 0.5
+        log_fn(f"[fd] iter {it}: loss {loss:.6f} sigma {sigma}")
+        history.append((loss, sigma.copy()))
+        if not improved:
+            break
+    return sigma, history
+
+
+def stack_primitives(prims):
+    """List of (data_s, data_t) primitive dicts -> stacked pytrees."""
+    ds = jax.tree.map(lambda *x: jnp.stack(x), *[p[0] for p in prims])
+    dt = jax.tree.map(lambda *x: jnp.stack(x), *[p[1] for p in prims])
+    return ds, dt
+
+
+def tune_per_level(primitives_by_level, R_gt, sigma0=None,
+                   fd: FDConfig = FDConfig(),
+                   cfg: Optional[SolverStaticConfig] = None):
+    """Fit a sigma row per recurrence level -> [levels, 4] table
+    (the format of data/relativePoseModule/final_param_*_rlevel_3.txt)."""
+    sigma0 = np.asarray(
+        sigma0 if sigma0 is not None else [0.2615, 0.2615, 0.04, 0.01])
+    rows = []
+    for level, prims in enumerate(primitives_by_level):
+        ps, pt = stack_primitives(prims)
+        obj = make_objective(ps, pt, jnp.asarray(R_gt), cfg)
+        sig, hist = fd_optimize(obj, sigma0, fd,
+                                log_fn=lambda m: print(f"level {level} {m}"))
+        rows.append(sig)
+    return np.stack(rows)

@@ -1,0 +1,189 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from relativepose_tpu.eval import harness
+from relativepose_tpu.tune import sigma as sigma_tune
+from relativepose_tpu.utils.checkpoint import CheckpointManager
+from relativepose_tpu.utils.experiment import ExperimentDirs
+from relativepose_tpu.utils.log import AverageMeter
+from relativepose_tpu.utils.trainer import Trainer
+
+
+class TestEvalHarness:
+    def test_bucket_assignment(self):
+        assert harness.bucket_of(0.05) == "0-0.1"
+        assert harness.bucket_of(0.1) == "0-0.1"
+        assert harness.bucket_of(0.3) == "0.1-0.5"
+        assert harness.bucket_of(0.9) == "0.5-1.0"
+
+    def test_pose_errors_identity(self):
+        T = jnp.eye(4)
+        pc = jnp.asarray(np.random.RandomState(0).randn(100, 3), jnp.float32)
+        valid = jnp.ones(100, bool)
+        errs = harness.pose_errors(T, T, pc, valid)
+        assert float(errs["err_ad"]) < 1e-3
+        assert float(errs["err_t"]) < 1e-6
+
+    def test_pose_errors_translation_formula(self):
+        """err_t must follow evaluation.py:296:
+        ||(R_hat - R_gt) @ mean(pc) + t_hat - t_gt||."""
+        rng = np.random.RandomState(1)
+        from scipy.spatial.transform import Rotation as SR
+        R_hat = SR.random(random_state=rng).as_matrix().astype(np.float32)
+        R_gt = SR.random(random_state=rng).as_matrix().astype(np.float32)
+        t_hat = rng.randn(3).astype(np.float32)
+        t_gt = rng.randn(3).astype(np.float32)
+        pc = rng.randn(50, 3).astype(np.float32)
+        T_hat = np.eye(4, dtype=np.float32)
+        T_hat[:3, :3], T_hat[:3, 3] = R_hat, t_hat
+        T_gt = np.eye(4, dtype=np.float32)
+        T_gt[:3, :3], T_gt[:3, 3] = R_gt, t_gt
+        errs = harness.pose_errors(jnp.asarray(T_hat), jnp.asarray(T_gt),
+                                   jnp.asarray(pc), jnp.ones(50, bool))
+        expect = np.linalg.norm((R_hat - R_gt) @ pc.mean(0) + t_hat - t_gt)
+        assert float(errs["err_t"]) == pytest.approx(expect, rel=1e-4)
+
+    def test_runner_resume_by_count(self, tmp_path):
+        cfg = harness.EvalConfig(exp="t", out_dir=str(tmp_path),
+                                 save_every=2)
+        r = harness.EvalRunner(cfg)
+        for i in range(4):
+            r.record({"overlap": 0.3, "err_ad": 1.0, "err_t": 0.1})
+        r.save()
+        r2 = harness.EvalRunner(cfg)
+        assert len(r2.error_stats) == 4
+        assert r2.completed_runs == 2
+
+    def test_default_sigma_tables_ship(self):
+        for ds in ("suncg", "matterport", "scannet"):
+            t = harness.default_sigma_table(ds)
+            assert t.shape == (3, 4)
+            assert (t > 0).all()
+
+    def test_sigma_tables_match_reference_values(self):
+        # data/relativePoseModule/final_param_suncg_rlevel_3.txt row 0
+        t = harness.default_sigma_table("suncg")
+        np.testing.assert_allclose(
+            t[0], [1.2974606, 0.31758944, 0.03550027, 0.00872483],
+            rtol=1e-5)
+
+
+class TestSigmaTuner:
+    def _toy_primitives(self, rng, n_pairs=4, k=16):
+        from tests.test_match_solver import make_scene, to_device_data
+        prims, rgts = [], []
+        for i in range(n_pairs):
+            ds, dt, T = make_scene(rng, k=k, noise=0.003)
+            prims.append((to_device_data(ds), to_device_data(dt)))
+            rgts.append(T[:3, :3])
+        return prims, np.stack(rgts).astype(np.float32)
+
+    def test_objective_finite_and_sensitive(self, rng):
+        from relativepose_tpu.match.solver import SolverStaticConfig
+        prims, rgts = self._toy_primitives(rng)
+        ps, pt = sigma_tune.stack_primitives(prims)
+        obj = sigma_tune.make_objective(
+            ps, pt, jnp.asarray(rgts),
+            SolverStaticConfig(top_k=3, power_iters=10))
+        v1 = float(obj(jnp.asarray([0.2615, 0.2615, 0.04, 0.01])))
+        v2 = float(obj(jnp.asarray([0.5, 0.5, 0.1, 0.05])))
+        assert np.isfinite(v1) and np.isfinite(v2)
+        assert v1 != v2
+
+    def test_fd_optimize_improves_quadratic(self):
+        target = np.array([0.3, 0.2, 0.05, 0.02])
+
+        def obj(s):
+            return float(np.sum((np.asarray(s) - target) ** 2))
+
+        sig, hist = sigma_tune.fd_optimize(
+            obj, [0.5, 0.5, 0.1, 0.05],
+            sigma_tune.FDConfig(max_iter=15), log_fn=lambda m: None)
+        assert hist[-1][0] < hist[0][0] * 0.5
+
+
+class TestCheckpoint:
+    def test_save_restore_keep3(self, tmp_path):
+        cm = CheckpointManager(str(tmp_path), keep=3)
+        state = {"params": {"w": np.arange(6.0).reshape(2, 3)}, "step": 0}
+        for s in range(5):
+            state["step"] = s
+            cm.save(s, state)
+        assert cm.all_steps() == [2, 3, 4]
+        loaded = cm.restore()
+        assert int(loaded["step"]) == 4
+        np.testing.assert_allclose(loaded["params"]["w"],
+                                   state["params"]["w"])
+
+    def test_partial_restore(self, tmp_path):
+        cm = CheckpointManager(str(tmp_path))
+        cm.save(0, {"a": np.ones(3), "b": np.zeros(2)})
+        template = {"a": np.zeros(3), "c": np.full(4, 7.0)}
+        merged, ok = cm.restore_into(template)
+        assert ok
+        np.testing.assert_allclose(merged["a"], np.ones(3))
+        np.testing.assert_allclose(merged["c"], np.full(4, 7.0))
+
+    def test_restore_into_without_checkpoint(self, tmp_path):
+        cm = CheckpointManager(str(tmp_path))
+        tpl = {"x": np.ones(2)}
+        out, ok = cm.restore_into(tpl)
+        assert not ok and out is tpl
+
+
+class TestExperimentDirs:
+    def test_create_and_rm_semantics(self, tmp_path):
+        root = str(tmp_path)
+        d = ExperimentDirs("foo", root=root)
+        assert os.path.isdir(d.samples_dir)
+        assert os.path.isdir(d.params_dir)
+        # a params file makes re-creation without rm/resume an error
+        open(os.path.join(d.params_dir, "checkpoint_0001"), "w").close()
+        with pytest.raises(FileExistsError):
+            ExperimentDirs("foo", root=root)
+        ExperimentDirs("foo", root=root, resume=True)
+        ExperimentDirs("foo", root=root, rm=True)
+        with pytest.raises(FileNotFoundError):
+            ExperimentDirs("nope", root=root, resume=True)
+
+    def test_latest_checkpoint(self, tmp_path):
+        d = ExperimentDirs("bar", root=str(tmp_path))
+        assert d.latest_checkpoint() is None
+        for i in (1, 3, 2):
+            open(os.path.join(d.params_dir, f"checkpoint_{i:04d}"),
+                 "w").close()
+        assert d.latest_checkpoint().endswith("checkpoint_0003")
+
+
+class TestTrainer:
+    def test_time_boxed_phases_and_callbacks(self):
+        calls = []
+
+        def step_fn(batch, mode):
+            calls.append((batch, mode))
+            return {"loss": 1.0}
+
+        from relativepose_tpu.utils.callbacks import (
+            CallbackLoc,
+            PeriodicCallback,
+        )
+        seen_epochs = []
+        cb = PeriodicCallback(CallbackLoc.epoch_end, 1,
+                              lambda ctx: seen_epochs.append(ctx["epoch"]))
+        tr = Trainer(step_fn=step_fn, train_loader=[1, 2, 3],
+                     val_loader=[4], max_epoch=2, train_duration=0.2,
+                     train_test_ratio=5, callbacks=[cb])
+        tr.run()
+        assert seen_epochs == [1, 2]
+        modes = {m for _, m in calls}
+        assert modes == {"train", "val"}
+
+    def test_meter(self):
+        m = AverageMeter()
+        m.update(1.0)
+        m.update(3.0)
+        assert m.avg == 2.0

@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as SR
+
+reg = pytest.importorskip("relativepose_tpu.native.registration")
+
+
+def box_cloud(rng, n=3000, extent=(1.5, 1.0, 2.0)):
+    pts = []
+    for axis in range(3):
+        for sign in (-1, 1):
+            p = rng.uniform(-1, 1, (n // 6, 3))
+            p[:, axis] = sign
+            pts.append(p)
+    return (np.concatenate(pts) * np.asarray(extent)).astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.RandomState(0)
+    pts = box_cloud(rng)
+    R = SR.from_euler("zyx", [25, 10, -15], degrees=True).as_matrix()
+    t = np.array([0.3, -0.2, 0.5])
+    return pts, pts @ R.T + t, R, t
+
+
+def rot_err(T, R):
+    return np.degrees(np.arccos(np.clip(
+        (np.trace(T[:3, :3] @ R.T) - 1) / 2, -1, 1)))
+
+
+class TestNativeRegistration:
+    def test_voxel_downsample(self, scene):
+        pts = scene[0]
+        ds = reg.voxel_downsample(pts, 0.2)
+        assert 100 < len(ds) < len(pts)
+        # every input point is within a voxel diagonal of some output point
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(ds).query(pts[::17], k=1)
+        assert d.max() < 0.2 * np.sqrt(3)
+
+    def test_normals_perpendicular_to_box_faces(self, scene):
+        pts = scene[0]
+        nr = reg.estimate_normals(pts[:500], 0.3)
+        norms = np.linalg.norm(nr, axis=1)
+        assert (np.abs(norms - 1.0) < 1e-6).mean() > 0.95
+        # box face points have +-axis normals: the dominant component
+        # should be >0.9 for most points
+        assert (np.abs(nr).max(axis=1) > 0.9).mean() > 0.8
+
+    def test_fpfh_shape_and_variation(self, scene):
+        pts = scene[0][:800]
+        f = reg.fpfh(pts, 0.2, 0.4)
+        assert f.shape == (800, 33)
+        assert f.std() > 0
+
+    def test_global_registration(self, scene):
+        pts, tgt, R, t = scene
+        T = reg.global_registration(pts, tgt, 0.1, 20000)
+        assert rot_err(T, R) < 5.0
+        assert np.linalg.norm(T[:3, 3] - t) < 0.3
+
+    def test_fast_global_registration(self, scene):
+        pts, tgt, R, t = scene
+        T = reg.fast_global_registration(pts, tgt, 0.1)
+        assert rot_err(T, R) < 10.0
+
+    def test_super4pcs(self, scene):
+        pts, tgt, R, t = scene
+        T = reg.super4pcs(pts, tgt, time_budget_s=5.0, delta=0.08)
+        assert rot_err(T, R) < 8.0
+
+    def test_icp_refines(self, scene):
+        pts, tgt, R, t = scene
+        # start from a small perturbation of the truth
+        dR = SR.from_euler("z", 4, degrees=True).as_matrix()
+        T0 = np.eye(4)
+        T0[:3, :3] = dR @ R
+        T0[:3, 3] = t + [0.03, -0.02, 0.01]
+        T = reg.icp_point_to_plane(pts, tgt, voxel=0.05, max_dist=0.15,
+                                   iters=30, init=T0)
+        assert rot_err(T, R) < rot_err(T0, R)
+        assert rot_err(T, R) < 1.5
+
+    def test_colored_registration_runs(self, scene):
+        pts, tgt, R, t = scene
+        cols = np.abs(pts) / np.abs(pts).max()
+        T = reg.colored_registration(pts[::3], tgt[::3], cols[::3],
+                                     cols[::3], 0.1)
+        assert T.shape == (4, 4)
+        assert np.isfinite(T).all()
