@@ -160,33 +160,36 @@ def splat_to_pano(points, values, valid, dataset: str, num_channels: int):
     rots = face_rotations(ds, dtype=points.dtype)
     H = FACE
     batch = points.shape[:-2]
-    pano = jnp.zeros(batch + (H, 4 * H, num_channels), dtype=values.dtype)
-    depth = jnp.zeros(batch + (H, 4 * H), dtype=points.dtype)
 
-    for block in (0, 3, 2, 1):  # reference write order: f, l, b, r
-        local = jnp.einsum("ji,...nj->...ni", rots[block], points, precision=_HP)  # R^T p
-        z = local[..., 2]
-        denom = jnp.abs(z) + 1e-32
-        x = local[..., 0] / denom
-        y = local[..., 1] / denom
-        ok = valid & (z < 0) & (jnp.abs(x) < 1) & (jnp.abs(y) < 1)
-        u = jnp.clip(jnp.round((x + 1.0) * 0.5 * H), 0, H - 1).astype(jnp.int32)
-        v = jnp.clip(jnp.round((1.0 - y) * 0.5 * H), 0, H - 1).astype(jnp.int32)
-        u = u + block * H
-        # invalid points are routed to a trash slot one past the end of the
-        # flattened pano so they cannot collide with real writes
-        M = H * 4 * H
-        flat = jnp.where(ok, v * (4 * H) + u, M)
-        pano_flat = jnp.concatenate(
-            [pano.reshape(batch + (M, num_channels)),
-             jnp.zeros(batch + (1, num_channels), dtype=values.dtype)], axis=-2)
-        depth_flat = jnp.concatenate(
-            [depth.reshape(batch + (M,)),
-             jnp.zeros(batch + (1,), dtype=points.dtype)], axis=-1)
-        pano_flat = _scatter_last2(pano_flat, flat, values)
-        depth_flat = _scatter_last1(depth_flat, flat, -z)
-        pano = pano_flat[..., :M, :].reshape(batch + (H, 4 * H, num_channels))
-        depth = depth_flat[..., :M].reshape(batch + (H, 4 * H))
+    # The 4 faces partition direction space (90-degree FOV each), so each
+    # point lands on at most one face and ONE scatter covers all blocks.
+    # Rotate every point into all 4 face frames at once: [..., N, 4, 3].
+    local = jnp.einsum("fji,...nj->...nfi", rots, points, precision=_HP)
+    z = local[..., 2]
+    denom = jnp.abs(z) + 1e-32
+    x = local[..., 0] / denom
+    y = local[..., 1] / denom
+    ok = valid[..., None] & (z < 0) & (jnp.abs(x) < 1) & (jnp.abs(y) < 1)
+    # pick the (unique) valid face per point
+    block = jnp.argmax(ok, axis=-1)  # [..., N]
+    any_ok = jnp.any(ok, axis=-1)
+    bsel = block[..., None]
+    xs = jnp.take_along_axis(x, bsel, axis=-1)[..., 0]
+    ys = jnp.take_along_axis(y, bsel, axis=-1)[..., 0]
+    zs = jnp.take_along_axis(z, bsel, axis=-1)[..., 0]
+    u = jnp.clip(jnp.round((xs + 1.0) * 0.5 * H), 0, H - 1).astype(jnp.int32)
+    v = jnp.clip(jnp.round((1.0 - ys) * 0.5 * H), 0, H - 1).astype(jnp.int32)
+    u = u + block.astype(jnp.int32) * H
+
+    # invalid points go to a trash slot one past the end of the flat pano
+    M = H * 4 * H
+    flat = jnp.where(any_ok, v * (4 * H) + u, M)
+    payload = jnp.concatenate([values, -zs[..., None]], axis=-1)
+    buf = jnp.zeros(batch + (M + 1, num_channels + 1), dtype=values.dtype)
+    buf = _scatter_last2(buf, flat, payload)
+    pano = buf[..., :M, :num_channels].reshape(
+        batch + (H, 4 * H, num_channels))
+    depth = buf[..., :M, num_channels].reshape(batch + (H, 4 * H))
     return pano, depth
 
 

@@ -290,7 +290,8 @@ def fit_spectral(ps, pt, ns, nt, W, mu, cfg: SolverStaticConfig):
 
         def matvec(v):
             uv = u * v
-            return u * (h * (W @ uv) + W @ (h * uv))
+            y = W @ jnp.stack([uv, h * uv], axis=-1)
+            return u * (h * y[:, 0] + y[:, 1])
 
         u_new = _power_iteration(matvec, ps.shape[0], cfg.power_iters)
         # new pair weights W o (u u^T): row sums = u * (W u)
@@ -329,7 +330,9 @@ def fit_irls_sm(ps, pt, ns, nt, W, mu, cfg: SolverStaticConfig):
         h = _residual_scores(ps, pt, ns, nt, R, mu_s, mu_t, mu)
 
         def matvec(v):
-            return h * (W @ v) + W @ (h * v)
+            # one 2-column matmul instead of two matvecs: W reads HBM once
+            y = W @ jnp.stack([v, h * v], axis=-1)
+            return h * y[:, 0] + y[:, 1]
 
         u = _power_iteration(matvec, ps.shape[0], cfg.power_iters)
         rho = u * (W @ u)
