@@ -82,6 +82,7 @@ def estimate_pose_via_completion(
     hp_table: SolverHyperParams,
     cfg: PipelineConfig,
     T_init: Optional[jnp.ndarray] = None,
+    return_primitives: bool = False,
 ):
     """Run the full recurrent algorithm for one pano pair.
 
@@ -109,6 +110,7 @@ def estimate_pose_via_completion(
 
     T = jnp.eye(4) if T_init is None else T_init
     step_keys = jax.random.split(key, cfg.alter_steps)
+    cached_primitives = []
 
     def sigma_at(val, i):
         val = jnp.asarray(val)
@@ -144,6 +146,9 @@ def estimate_pose_via_completion(
             do_completion=cfg.completion,
             gray_full_s=gray_full_s, gray_full_t=gray_full_t)
 
+        if return_primitives:
+            cached_primitives.append((prim_s, prim_t))
+
         hp_step = SolverHyperParams(
             sigma_angle1=sigma_at(hp_table.sigma_angle1, step),
             sigma_angle2=sigma_at(hp_table.sigma_angle2, step),
@@ -156,6 +161,8 @@ def estimate_pose_via_completion(
         )
         T = estimate_relative_pose(prim_s, prim_t, hp_step, cfg.solver)
 
+    if return_primitives:
+        return T, cached_primitives
     return T
 
 

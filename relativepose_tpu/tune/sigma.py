@@ -104,6 +104,49 @@ def fd_optimize(objective: Callable, sigma0, fd: FDConfig = FDConfig(),
     return sigma, history
 
 
+def cache_primitives(scnet_fn_factory, pairs, hp_table, pipe_cfg, key=None,
+                     cache_path: Optional[str] = None):
+    """Run the recurrent pipeline once per pair and record the solver-ready
+    primitive sets at every recurrence level.
+
+    Mirrors trainRelativePoseModuleRecFD.py:73-212 (the reference runs the
+    completion loop per pair and caches primitives to
+    data/relativePoseModule/final_<ds>_rlevel_<r>.npy).
+
+    scnet_fn_factory: (data_s, data_t) -> completion fn (called inside the
+    jit so oracle closures over pair data trace correctly).
+    pairs: iterable of (data_s, data_t, T_gt) jax pytrees (single pair,
+    no batch dim).  Returns (primitives_by_level: [levels][pairs]
+    (prim_s, prim_t), R_gt [P, 3, 3]); optionally saves to cache_path.
+    """
+    import jax as _jax
+
+    from relativepose_tpu.pipeline import estimate_pose_via_completion
+
+    key = key if key is not None else _jax.random.PRNGKey(0)
+    by_level = [[] for _ in range(pipe_cfg.alter_steps)]
+    rgts = []
+
+    @_jax.jit
+    def run(ds, dt, k):
+        return estimate_pose_via_completion(
+            scnet_fn_factory(ds, dt), ds, dt, k, hp_table, pipe_cfg,
+            return_primitives=True)
+
+    for data_s, data_t, T_gt in pairs:
+        key, sub = _jax.random.split(key)
+        _, prims = run(data_s, data_t, sub)
+        for lvl, (ps, pt) in enumerate(prims):
+            by_level[lvl].append((_jax.device_get(ps), _jax.device_get(pt)))
+        rgts.append(np.asarray(T_gt)[:3, :3])
+    rgt = np.stack(rgts)
+    if cache_path:
+        np.save(cache_path,
+                {"primitives": by_level, "R_gt": rgt},
+                allow_pickle=True)
+    return by_level, rgt
+
+
 def stack_primitives(prims):
     """List of (data_s, data_t) primitive dicts -> stacked pytrees."""
     ds = jax.tree.map(lambda *x: jnp.stack(x), *[p[0] for p in prims])
