@@ -128,22 +128,29 @@ class SyntheticPairs:
     """Synthetic drop-in with the same item contract (tests/benchmarks)."""
 
     def __init__(self, dataset: str = "suncg", n: int = 100, seed: int = 0,
-                 max_baseline: float = 0.8):
+                 max_baseline: float = 0.8, cache_size: int = 512):
         self.dataset = dataset
         self.n = n
         self.seed = seed
         self.max_baseline = max_baseline
+        self._cache = {}
+        self._cache_size = cache_size
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, index: int) -> dict:
+        if index in self._cache:
+            return self._cache[index]
         from relativepose_tpu.data import synthetic
         ds, dt, T_gt = synthetic.make_pair(
             self.seed + index, self.dataset, max_baseline=self.max_baseline)
-        return dict(data_s=ds, data_t=dt, T_gt=T_gt.astype(np.float32),
+        item = dict(data_s=ds, data_t=dt, T_gt=T_gt.astype(np.float32),
                     Q=None, imgs_path=(f"synthetic/{index}/src",
                                        f"synthetic/{index}/tgt"))
+        if len(self._cache) < self._cache_size:
+            self._cache[index] = item
+        return item
 
 
 def batched(source, batch: int, fields=("rgb", "norm", "depth", "segm"),
