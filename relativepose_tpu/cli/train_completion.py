@@ -19,7 +19,11 @@ import jax.numpy as jnp
 from relativepose_tpu.cli.common import add_common_training_args, resolve_dataset
 from relativepose_tpu.cli.train_feature import batch_iterator, make_source
 from relativepose_tpu.train import completion, mesh
-from relativepose_tpu.utils.callbacks import CallbackLoc, PeriodicCallback
+from relativepose_tpu.utils.callbacks import (
+    CallbackLoc,
+    OnceCallback,
+    PeriodicCallback,
+)
 from relativepose_tpu.utils.checkpoint import CheckpointManager
 from relativepose_tpu.utils.experiment import ExperimentDirs, parameters_count
 from relativepose_tpu.utils.log import AverageMeter, FileLogger
@@ -31,6 +35,7 @@ def main(argv=None):
     add_common_training_args(p)
     p.add_argument("--synthetic_family", type=str, default="suncg")
     p.add_argument("--train_duration", type=float, default=300.0)
+    p.add_argument("--save_every", type=int, default=5)
     p.add_argument("--feat_ckpt", type=str, default=None,
                    help="feature-net checkpoint dir (frozen netF)")
     args = p.parse_args(argv)
@@ -69,6 +74,10 @@ def main(argv=None):
         s["params"], s["net_f_params"], b, k, cfg)[1])
     key = jax.random.PRNGKey(1)
     meter = AverageMeter()
+    from relativepose_tpu.utils.metrics_writer import MetricsWriter
+    import os as _os
+    tb = MetricsWriter(_os.path.join(dirs.exp_dir, "tensorboard"))
+    step_count = {"n": 0}
 
     def step_fn(batch, mode):
         nonlocal state, key
@@ -79,6 +88,11 @@ def main(argv=None):
         else:
             metrics = eval_jit(state, batch, sub)
         meter.update(float(metrics["loss"]))
+        step_count["n"] += 1
+        if step_count["n"] % 10 == 0:
+            tb.scalars("loss", {f"{mode}_{k}": float(v)
+                                for k, v in metrics.items()},
+                       step_count["n"])
         return metrics
 
     train_src = make_source(args, "train", dataset)
@@ -95,7 +109,9 @@ def main(argv=None):
         val_loader=batch_iterator(val_src, args, dataset, 1),
         max_epoch=args.max_epoch,
         train_duration=args.train_duration,
-        callbacks=[PeriodicCallback(CallbackLoc.epoch_end, 5, save_cb)],
+        callbacks=[PeriodicCallback(CallbackLoc.epoch_end,
+                                    args.save_every, save_cb),
+                   OnceCallback(CallbackLoc.train_end, save_cb)],
     )
     trainer.run()
 

@@ -77,6 +77,7 @@ def main(argv=None):
     add_common_training_args(p)
     p.add_argument("--synthetic_family", type=str, default="suncg")
     p.add_argument("--train_duration", type=float, default=300.0)
+    p.add_argument("--save_every", type=int, default=5)
     args = p.parse_args(argv)
     dataset, mask_method = resolve_dataset(args)
 
@@ -102,6 +103,10 @@ def main(argv=None):
         lambda params, batch, k: feature.loss_fn(params, batch, k, cfg)[1])
     key = jax.random.PRNGKey(1)
     meter = AverageMeter()
+    from relativepose_tpu.utils.metrics_writer import MetricsWriter
+    import os as _os
+    tb = MetricsWriter(_os.path.join(dirs.exp_dir, "tensorboard"))
+    step_count = {"n": 0}
 
     def step_fn(batch, mode):
         nonlocal state, key
@@ -113,6 +118,11 @@ def main(argv=None):
             metrics = eval_jit(state["params"], batch, sub)
         if "loss" in metrics:
             meter.update(float(metrics["loss"]))
+        step_count["n"] += 1
+        if step_count["n"] % 10 == 0:
+            tb.scalars("loss", {f"{mode}_{k}": float(v)
+                                for k, v in metrics.items()},
+                       step_count["n"])
         return metrics
 
     train_src = make_source(args, "train", dataset)
@@ -123,14 +133,20 @@ def main(argv=None):
         logf(f"epoch {context['epoch']}: saved checkpoint; "
              f"avg loss {meter.avg:.6f}")
 
-    from relativepose_tpu.utils.callbacks import CallbackLoc, PeriodicCallback
+    from relativepose_tpu.utils.callbacks import (
+    CallbackLoc,
+    OnceCallback,
+    PeriodicCallback,
+)
     trainer = Trainer(
         step_fn=step_fn,
         train_loader=batch_iterator(train_src, args, dataset, 0),
         val_loader=batch_iterator(val_src, args, dataset, 1),
         max_epoch=args.max_epoch,
         train_duration=args.train_duration,
-        callbacks=[PeriodicCallback(CallbackLoc.epoch_end, 5, save_cb)],
+        callbacks=[PeriodicCallback(CallbackLoc.epoch_end,
+                                    args.save_every, save_cb),
+                   OnceCallback(CallbackLoc.train_end, save_cb)],
     )
     trainer.run()
 
