@@ -83,20 +83,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_pairs", type=int, default=16)
     ap.add_argument("--alter_steps", type=int, default=3)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--check_accuracy", action="store_true")
     args = ap.parse_args()
 
     fn, fargs, T_gts = build_bench(args.batch_pairs, args.alter_steps)
-    # compile + warmup
-    out = jax.block_until_ready(fn(*fargs))
 
-    times = []
+    def sync(x):
+        # On the axon tunnel jax.block_until_ready does NOT block
+        # (docs/PERFORMANCE.md); fetching one element is a real sync.
+        return jax.device_get(x[..., :1, :1].ravel()[:1])
+
+    # compile + warmup
+    out = fn(*fargs)
+    sync(out)
+
+    # Steady-state throughput: enqueue all iterations back-to-back, sync
+    # once on the last output.  Per-call block_until_ready would measure
+    # dispatch only; per-call device_get would measure tunnel latency.
+    t0 = time.perf_counter()
     for _ in range(args.iters):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*fargs))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+        out = fn(*fargs)
+    sync(out)
+    dt = (time.perf_counter() - t0) / args.iters
     pairs_per_sec = args.batch_pairs / dt
 
     if args.check_accuracy:

@@ -25,8 +25,8 @@ def ranking_ratio(feat_s, feat_t, idx_src, idx_tgt, valid, sample=100,
     valid: [n].  Returns ratios [n, S] in [0, 1] and a validity mask.
 
     Mirrors mainPanoCompletion2view.py:400-406: for S sampled
-    correspondences, ratio = #\{locations with d(f_s, f_t[loc]) <
-    d(f_s, f_t[match])\} / (H*W).
+    correspondences, ratio = #{locations with d(f_s, f_t[loc]) <
+    d(f_s, f_t[match])} / (H*W).
     """
     n, h, w, c = feat_t.shape
     k = idx_src.shape[1]
