@@ -185,29 +185,32 @@ def splat_to_pano(points, values, valid, dataset: str, num_channels: int):
     M = H * 4 * H
     flat = jnp.where(any_ok, v * (4 * H) + u, M)
     payload = jnp.concatenate([values, -zs[..., None]], axis=-1)
-    buf = jnp.zeros(batch + (M + 1, num_channels + 1), dtype=values.dtype)
-    buf = _scatter_last2(buf, flat, payload)
-    pano = buf[..., :M, :num_channels].reshape(
-        batch + (H, 4 * H, num_channels))
-    depth = buf[..., :M, num_channels].reshape(batch + (H, 4 * H))
+    # Duplicate resolution: scatter-max the point INDEX (one int32 channel —
+    # measured 26% faster than scattering the 7-channel payload, and a
+    # commutative reduction besides), then gather the winners' payload rows.
+    # "Highest point index wins" is as deterministic as the reference's
+    # incidental numpy write order (see PARITY.md).
+    n = points.shape[-2]
+    pos = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32), flat.shape)
+    idxbuf = jnp.full(batch + (M + 1,), -1, jnp.int32)
+    idxbuf = _scatter_max_last1(idxbuf, flat, pos)[..., :M]
+    hit = idxbuf >= 0
+    sel = jnp.maximum(idxbuf, 0)
+    rows = jnp.take_along_axis(payload, sel[..., None], axis=-2)
+    rows = jnp.where(hit[..., None], rows, 0.0)
+    pano = rows[..., :num_channels].reshape(batch + (H, 4 * H, num_channels))
+    depth = rows[..., num_channels].reshape(batch + (H, 4 * H))
     return pano, depth
 
 
-def _scatter_last2(buf, idx, vals):
-    """buf [..., M, C] .at[..., idx, :] <- vals [..., N, C] (last wins)."""
-    if buf.ndim == 2:
-        return buf.at[idx].set(vals)
-    assert buf.ndim == 3, buf.shape
-    b = jnp.arange(buf.shape[0])[:, None]
-    return buf.at[b, idx].set(vals)
-
-
-def _scatter_last1(buf, idx, vals):
+def _scatter_max_last1(buf, idx, vals):
+    """buf [..., M] .at[..., idx] <- max(vals) (commutative reduction)."""
     if buf.ndim == 1:
-        return buf.at[idx].set(vals)
+        return buf.at[idx].max(vals)
     assert buf.ndim == 2, buf.shape
     b = jnp.arange(buf.shape[0])[:, None]
-    return buf.at[b, idx].set(vals)
+    return buf.at[b, idx].max(vals)
 
 
 def lift_keypoints(depth, normal, pts, dataset: str):

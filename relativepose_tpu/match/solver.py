@@ -148,36 +148,48 @@ def pair_weight_matrix(ps, pt, ns, nt, f, obs_prod, cvalid, hp):
 
     Returns (W [C, C] symmetric, counts dict).
     """
-    def pdist(x):
-        d2 = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
-        return jnp.sqrt(jnp.maximum(d2, 0.0))
-
-    dis_s = pdist(ps)
-    dis_t = pdist(pt)
+    # Per-component outer differences (3 x [C, C] each side) instead of
+    # materialized [C, C, 3] edge tensors: every pairwise quantity below is
+    # a short sum of [C, C] outer ops, which XLA keeps in one fusion.
+    dd_s = [ps[:, k, None] - ps[None, :, k] for k in range(3)]
+    dd_t = [pt[:, k, None] - pt[None, :, k] for k in range(3)]
+    d2_s = dd_s[0] ** 2 + dd_s[1] ** 2 + dd_s[2] ** 2
+    d2_t = dd_t[0] ** 2 + dd_t[1] ** 2 + dd_t[2] ** 2
+    dis_s = jnp.sqrt(d2_s)
+    dis_t = jnp.sqrt(d2_t)
     d2 = (dis_s - dis_t) ** 2
     dist_ok = (d2 < hp.dist_thre**2) & (
         jnp.minimum(dis_s, dis_t) > 1.5 * hp.dist_sep_thre**2
     )
 
-    # unit edge directions, oriented row->col (i1 - i2 with i1 = row)
-    e1 = ps[:, None, :] - ps[None, :, :]
-    e2 = pt[:, None, :] - pt[None, :, :]
-    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), _EPS)
-    e2 = e2 / jnp.maximum(jnp.linalg.norm(e2, axis=-1, keepdims=True), _EPS)
+    # inverse edge lengths: dot-with-edge / |edge| == dot with unit edge
+    inv_s = 1.0 / jnp.maximum(dis_s, _EPS)
+    inv_t = 1.0 / jnp.maximum(dis_t, _EPS)
 
-    def ang(x):
-        return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+    def ang_diff_sq(a, b):
+        """(arccos a - arccos b)^2 for a, b in [-1, 1], via
+        cos(alpha - beta) = ab + sin(alpha) sin(beta): both angles are in
+        [0, pi] and only the square is used, so one arccos suffices."""
+        a = jnp.clip(a, -1.0, 1.0)
+        b = jnp.clip(b, -1.0, 1.0)
+        c = a * b + jnp.sqrt(
+            jnp.maximum((1.0 - a * a) * (1.0 - b * b), 0.0))
+        return jnp.arccos(jnp.clip(c, -1.0, 1.0)) ** 2
 
     nn_s = jnp.einsum("ci,di->cd", ns, ns, precision=_HP)
     nn_t = jnp.einsum("ci,di->cd", nt, nt, precision=_HP)
-    alpha = (ang(nn_s) - ang(nn_t)) ** 2
+    alpha = ang_diff_sq(nn_s, nn_t)
     # beta: normal of the ROW corres vs the edge; gamma: normal of the COL
-    ne1_row = jnp.einsum("ci,cdi->cd", ns, e1, precision=_HP)
-    ne2_row = jnp.einsum("ci,cdi->cd", nt, e2, precision=_HP)
-    beta = (ang(ne1_row) - ang(ne2_row)) ** 2
-    ne1_col = jnp.einsum("di,cdi->cd", ns, e1, precision=_HP)
-    ne2_col = jnp.einsum("di,cdi->cd", nt, e2, precision=_HP)
-    gamma = (ang(ne1_col) - ang(ne2_col)) ** 2
+    ne1_row = (ns[:, 0, None] * dd_s[0] + ns[:, 1, None] * dd_s[1]
+               + ns[:, 2, None] * dd_s[2]) * inv_s
+    ne2_row = (nt[:, 0, None] * dd_t[0] + nt[:, 1, None] * dd_t[1]
+               + nt[:, 2, None] * dd_t[2]) * inv_t
+    beta = ang_diff_sq(ne1_row, ne2_row)
+    ne1_col = (ns[None, :, 0] * dd_s[0] + ns[None, :, 1] * dd_s[1]
+               + ns[None, :, 2] * dd_s[2]) * inv_s
+    ne2_col = (nt[None, :, 0] * dd_t[0] + nt[None, :, 1] * dd_t[1]
+               + nt[None, :, 2] * dd_t[2]) * inv_t
+    gamma = ang_diff_sq(ne1_col, ne2_col)
 
     a2 = hp.angle_thre**2
     angle_ok = (alpha < a2) & (beta < a2) & (gamma < a2)

@@ -12,7 +12,11 @@ Stages: build solve power keypoints blur warp affinity all
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +171,29 @@ def main():
         print("aug matches   %7.2f ms" % (1e3 * timeit(
             aug, (feat, jax.random.PRNGKey(0)), args.iters)))
 
+    if on("scnet"):
+        from relativepose_tpu.models import SCNet
+        from relativepose_tpu.models.blocks import resize_bilinear
+        net = SCNet(output_type="rgbdnsf", snumclass=15, feature_dim=F,
+                    dtype=jnp.bfloat16)
+        xin = jnp.asarray(rng.rand(2 * B, H, Wd, 16), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), xin[:2])["params"]
+
+        @jax.jit
+        def scnet(params, xin):
+            return net.apply({"params": params},
+                             xin.astype(jnp.bfloat16)).astype(jnp.float32)
+        print("scnet fwd     %7.2f ms" % (1e3 * timeit(
+            scnet, (params, xin), args.iters)))
+
+        @jax.jit
+        def resize_rt(xin):
+            y = resize_bilinear(xin, (224, 224))
+            return resize_bilinear(
+                jnp.tile(y, (1, 1, 1, 3))[..., :54], (H, Wd))
+        print("resize pair   %7.2f ms" % (1e3 * timeit(
+            resize_rt, (xin,), args.iters)))
+
     if on("warp"):
         depth = jnp.asarray(1.0 + rng.rand(B, H, Wd, 1), jnp.float32)
         mask = jnp.ones((B, H, Wd, 1), jnp.float32)
@@ -179,6 +206,30 @@ def main():
             return W.warp_view_batched(view, T, "suncg")
         print("warp          %7.2f ms" % (1e3 * timeit(
             do_warp, (view, T), args.iters)))
+
+        from relativepose_tpu.core import skybox
+
+        @jax.jit
+        def lift_only(view, T):
+            def one(v, t):
+                pts, vals, valid = W._observed_points_and_values(v, "suncg")
+                R, tr = t[:3, :3], t[:3, 3]
+                pts_w = jnp.einsum("ni,ji->nj", pts, R) + tr
+                return pts_w, vals, valid
+            return jax.vmap(one)(view, T)
+        print("warp lift     %7.2f ms" % (1e3 * timeit(
+            lift_only, (view, T), args.iters)))
+
+        pts_w, vals, valid = lift_only(view, T)
+        vals7 = jnp.concatenate([vals, vals[..., :1]], -1)[..., :6]
+
+        @jax.jit
+        def splat_only(pts_w, vals, valid):
+            return jax.vmap(
+                lambda p, v, m: skybox.splat_to_pano(p, v, m, "suncg", 6))(
+                pts_w, vals, valid)
+        print("warp splat    %7.2f ms" % (1e3 * timeit(
+            splat_only, (pts_w, vals7, valid), args.iters)))
 
 
 if __name__ == "__main__":
