@@ -53,7 +53,24 @@ def _parse_args(argv=None):
     p.add_argument("--batch_pairs", type=int, default=4)
     p.add_argument("--comp_ckpt", type=str, default=None)
     p.add_argument("--bf16", type=int, default=1)
+    # reference model-shape flags (evaluation.py:62-65)
+    p.add_argument("--skipLayer", type=int, default=1,
+                   help="skip connections in the completion net")
+    p.add_argument("--useTanh", type=int, default=1,
+                   help="tanh on the feature-map head")
+    p.add_argument("--batchnorm", type=int, default=1,
+                   help="batch norm in the completion net")
+    p.add_argument("--representation", type=str, default="skybox",
+                   choices=["skybox"])
+    p.add_argument("--saveCompletion", type=int, default=1,
+                   help="accepted for parity (unused in the reference too, "
+                        "evaluation.py:63)")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("-l", "--log", dest="log", type=str, default="WARNING",
+                   help="python logging level (evaluation.py:69)")
     args = p.parse_args(argv)
+    import logging
+    logging.basicConfig(level=getattr(logging, args.log.upper(), 30))
     if "synthetic" in args.dataList:
         args.family = args.synthetic_family
     else:
@@ -77,6 +94,9 @@ def scnet_fn_factory_from_checkpoint(args, layout: ChannelLayout):
         params = state["params"]
         net = SCNet(output_type=args.outputType, snumclass=args.snumclass,
                     feature_dim=args.featureDim,
+                    batchnorm=bool(args.batchnorm),
+                    skip_layer=bool(args.skipLayer),
+                    use_tanh=bool(args.useTanh),
                     dtype=jnp.bfloat16 if args.bf16 else None)
 
         def factory(data_s, data_t):

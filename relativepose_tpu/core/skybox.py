@@ -157,29 +157,44 @@ def splat_to_pano(points, values, valid, dataset: str, num_channels: int):
     `depth` is the splatted -z (the reference's 'depth' mode).
     """
     ds = config.canonical_dataset(dataset)
-    rots = face_rotations(ds, dtype=points.dtype)
+    order = config.FACE_ORDER[ds]
     H = FACE
     batch = points.shape[:-2]
 
     # The 4 faces partition direction space (90-degree FOV each), so each
     # point lands on at most one face and ONE scatter covers all blocks.
-    # Rotate every point into all 4 face frames at once: [..., N, 4, 3].
-    local = jnp.einsum("fji,...nj->...nfi", rots, points, precision=_HP)
-    z = local[..., 2]
-    denom = jnp.abs(z) + 1e-32
-    x = local[..., 0] / denom
-    y = local[..., 1] / denom
-    ok = valid[..., None] & (z < 0) & (jnp.abs(x) < 1) & (jnp.abs(y) < 1)
-    # pick the (unique) valid face per point
-    block = jnp.argmax(ok, axis=-1)  # [..., N]
-    any_ok = jnp.any(ok, axis=-1)
-    bsel = block[..., None]
-    xs = jnp.take_along_axis(x, bsel, axis=-1)[..., 0]
-    ys = jnp.take_along_axis(y, bsel, axis=-1)[..., 0]
-    zs = jnp.take_along_axis(z, bsel, axis=-1)[..., 0]
+    # The face loop is unrolled with every intermediate shaped [..., N] so N
+    # stays the minor (lane) dimension: a [..., N, 4, 3] einsum intermediate
+    # pays (8,128)-tile padding on TPU and measured 13 ms of this stage's
+    # 21 ms at B=8 (tools/splat_exp2.py).  The rotations are signed axis
+    # permutations, so rotating is free component shuffles; the perspective
+    # test |l_xy| < |l_z| + eps needs no division.
+    px, py, pz = points[..., 0], points[..., 1], points[..., 2]
+    comps = (px, py, pz)
+    any_ok = jnp.zeros(valid.shape, bool)
+    block = jnp.zeros(valid.shape, jnp.int32)
+    zero = jnp.zeros_like(px)
+    lxs, lys, lzs = zero, zero, zero
+    for f in range(4):
+        R = config.FACE_ROTATIONS[order[f]]
+        lx = _rot_component(R, 0, comps)
+        ly = _rot_component(R, 1, comps)
+        lz = _rot_component(R, 2, comps)
+        lim = 1e-32 - lz  # == |l_z| + 1e-32 when l_z < 0 (the only ok case)
+        ok = valid & (lz < 0) & (jnp.abs(lx) < lim) & (jnp.abs(ly) < lim)
+        take = ok & ~any_ok  # first valid face wins (argmax semantics)
+        block = jnp.where(take, f, block)
+        lxs = jnp.where(take, lx, lxs)
+        lys = jnp.where(take, ly, lys)
+        lzs = jnp.where(take, lz, lzs)
+        any_ok = any_ok | ok
+    denom = jnp.abs(lzs) + 1e-32
+    xs = lxs / denom
+    ys = lys / denom
+    zs = lzs
     u = jnp.clip(jnp.round((xs + 1.0) * 0.5 * H), 0, H - 1).astype(jnp.int32)
     v = jnp.clip(jnp.round((1.0 - ys) * 0.5 * H), 0, H - 1).astype(jnp.int32)
-    u = u + block.astype(jnp.int32) * H
+    u = u + block * H
 
     # invalid points go to a trash slot one past the end of the flat pano
     M = H * 4 * H
@@ -202,6 +217,23 @@ def splat_to_pano(points, values, valid, dataset: str, num_channels: int):
     pano = rows[..., :num_channels].reshape(batch + (H, 4 * H, num_channels))
     depth = rows[..., num_channels].reshape(batch + (H, 4 * H))
     return pano, depth
+
+
+def _rot_component(R, i, comps):
+    """Component i of R^T p for a signed-permutation numpy constant R.
+
+    Folds the 0/+-1 coefficients at trace time so the "rotation" costs no
+    flops and no [..., 3]-shaped intermediates.
+    """
+    out = None
+    for j in range(3):
+        c = float(R[j, i])
+        if c == 0.0:
+            continue
+        term = comps[j] if c == 1.0 else (
+            -comps[j] if c == -1.0 else c * comps[j])
+        out = term if out is None else out + term
+    return out if out is not None else jnp.zeros_like(comps[0])
 
 
 def _scatter_max_last1(buf, idx, vals):

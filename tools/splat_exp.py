@@ -86,11 +86,27 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--clustered", action="store_true",
+                    help="use a spatially coherent index pattern (realistic "
+                         "forward-splat footprint) instead of uniform random")
     args = ap.parse_args()
     B = args.batch
 
     rng = np.random.RandomState(0)
-    flat = jnp.asarray(rng.randint(0, M + 1, (B, N)), jnp.int32)
+    if getattr(args, "clustered", False):
+        # realistic splat pattern: a 160x160 face forward-projected lands on
+        # spatially coherent pano pixels with many duplicates; emulate with
+        # a jittered low-res grid (~4 points per hit pixel).
+        side = int(np.sqrt(N))
+        u = (np.repeat(np.arange(side), side) * 2.0
+             + rng.randint(0, 3, N)) % 640
+        v = (np.tile(np.arange(side), side) * 0.6
+             + rng.randint(0, 2, N)) % 160
+        fl = (v.astype(np.int64) * 640 + u.astype(np.int64)).astype(np.int32)
+        fl[rng.rand(N) < 0.2] = M  # invalid points -> trash slot
+        flat = jnp.asarray(np.tile(fl, (B, 1)), jnp.int32)
+    else:
+        flat = jnp.asarray(rng.randint(0, M + 1, (B, N)), jnp.int32)
     payload = jnp.asarray(rng.rand(B, N, C), jnp.float32)
 
     fns = [("scatter set f32", jax.jit(scatter_set)),
