@@ -38,6 +38,7 @@ class BatchNorm2d(nn.Module):
     eps: float = 1e-5
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    frozen: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -46,6 +47,13 @@ class BatchNorm2d(nn.Module):
         # reference init: BN weight ~ N(1.0, 0.02), bias 0 (mymodel.py:11-13)
         scale = scale + 1.0
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        if self.frozen:
+            # Running-stats (torch eval-mode) BN folded into an affine:
+            # torch_import folds (running_mean, running_var, weight, bias)
+            # into (scale, bias) so y = x * scale + bias exactly matches
+            # torchvision BN in eval mode (track_running_stats=True).
+            y = x.astype(jnp.float32) * scale + bias
+            return y.astype(self.dtype or x.dtype)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(0, 1, 2))
         var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
@@ -138,7 +146,10 @@ def resize_bilinear(x, size):
 
     Equivalent to torch `upsample(..., mode='bilinear',
     align_corners=False)` used throughout the reference
-    (mymodel.py:105-112, :261, :379).
+    (mymodel.py:105-112, :261, :379).  antialias=False because torch's
+    bilinear upsample never low-pass filters, even when downscaling
+    (SCNet's 640->224 input resize) — required for converted-weight
+    output parity.
     """
     out_shape = x.shape[:-3] + (size[0], size[1], x.shape[-1])
-    return jax.image.resize(x, out_shape, method="bilinear")
+    return jax.image.resize(x, out_shape, method="bilinear", antialias=False)

@@ -30,27 +30,29 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         residual = x
+        bn_kw = dict(dtype=self.dtype, axis_name=self.axis_name,
+                     frozen=self.frozen_bn)
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype,
                     kernel_init=nn.initializers.xavier_normal())(x)
-        y = BatchNorm2d(dtype=self.dtype, axis_name=self.axis_name)(y)
+        y = BatchNorm2d(**bn_kw)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype,
                     kernel_init=nn.initializers.xavier_normal())(y)
-        y = BatchNorm2d(dtype=self.dtype, axis_name=self.axis_name)(y)
+        y = BatchNorm2d(**bn_kw)(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                kernel_init=nn.initializers.xavier_normal())(x)
-            residual = BatchNorm2d(dtype=self.dtype,
-                                   axis_name=self.axis_name)(residual)
+            residual = BatchNorm2d(**bn_kw)(residual)
         return nn.relu(y + residual)
 
 
@@ -62,6 +64,8 @@ class Resnet18_8s(nn.Module):
     base_width: int = 64  # stage widths are (w, 2w, 4w, 8w)
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    # Use folded torch eval-mode running-stats BN (see torch_import):
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -72,7 +76,7 @@ class Resnet18_8s(nn.Module):
         y = nn.Conv(w0, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=dt,
                     kernel_init=nn.initializers.xavier_normal())(x)
-        y = BatchNorm2d(dtype=dt, axis_name=ax)(y)
+        y = BatchNorm2d(dtype=dt, axis_name=ax, frozen=self.frozen_bn)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -81,7 +85,8 @@ class Resnet18_8s(nn.Module):
         for stage, (p, blocks) in enumerate(zip(planes, self.stage_sizes)):
             for b in range(blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                y = BasicBlock(p, stride, dtype=dt, axis_name=ax)(y)
+                y = BasicBlock(p, stride, dtype=dt, axis_name=ax,
+                               frozen_bn=self.frozen_bn)(y)
             if stage == 1:
                 scores[8] = nn.Conv(self.feature_dim, (1, 1), dtype=dt)(y)
             elif stage == 2:
