@@ -146,11 +146,11 @@ def main(argv=None):
             args.family, "test", args.listPath,
             entry_split=args.entrySplit)
 
-    runner = None
-    for _ in range(args.num_repeat):
-        pairs = dsets.batched(source, args.batch_pairs)
-        runner = harness.evaluate_stream(pairs, eval_fn, cfg)
-        runner.print_stats()
+    # all repeats accumulate into one result file; resume skips completed
+    # (repeat, pair) iterations (evaluation.py:129-133, 156-158)
+    runner = harness.evaluate_stream(
+        lambda: dsets.batched(source, args.batch_pairs), eval_fn, cfg)
+    runner.print_stats()
     print(json.dumps(runner.summary()))
     return runner
 

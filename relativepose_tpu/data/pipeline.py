@@ -23,22 +23,49 @@ N_CORRES = 2000      # datasets/SUNCG.py:334
 MIN_CORRES = 500     # datasets/SUNCG.py:329
 CORR_THRESH = 0.08   # datasets/SUNCG.py:328
 
+# Per-dataset denseCorres protocol.  SUNCG queries uniformly over the full
+# pano grid (SUNCG.py:97-110 lifts every pixel, :324 samples among all);
+# Matterport/ScanNet lift only nonzero-depth pixels (the "masked pano pc",
+# Matterport3D.py:252 / ScanNet.py:69-91) so queries come from valid points
+# only.  ScanNet keeps 500 correspondences and needs >= 200 matches
+# (ScanNet.py:282-291); the others keep 2000 and need >= 500
+# (SUNCG.py:329-341, Matterport3D.py:271-281).
+CORRES_PARAMS = {
+    "suncg": dict(n_query=N_QUERY, n_corres=N_CORRES,
+                  min_corres=MIN_CORRES, masked_queries=False),
+    "matterport": dict(n_query=N_QUERY, n_corres=N_CORRES,
+                       min_corres=MIN_CORRES, masked_queries=True),
+    "scannet": dict(n_query=N_QUERY, n_corres=500, min_corres=200,
+                    masked_queries=True),
+}
+
 
 def dense_correspondences(depth_s, depth_t, pose_s, pose_t, key,
-                          dataset: str, n_query: int = N_QUERY,
-                          n_corres: int = N_CORRES,
-                          min_corres: int = MIN_CORRES):
-    """GT dense correspondences between two panos (SUNCG.py:315-341).
+                          dataset: str, n_query: int | None = None,
+                          n_corres: int | None = None,
+                          min_corres: int | None = None,
+                          masked_queries: bool | None = None):
+    """GT dense correspondences between two panos (SUNCG.py:315-341,
+    ScanNet.py:263-291, Matterport3D.py:250-281).
 
     depth_*: [H, W]; pose_*: [4, 4] world->camera.  Lifts both panos,
     moves them to the world frame, finds NNs of `n_query` random source
     points within 0.08 m (brute-force matmul instead of a KDTree), and
-    samples `n_corres` of them.
+    samples `n_corres` of them.  Unspecified protocol parameters default
+    to the dataset's row in `CORRES_PARAMS`.
 
     Returns dict(idx_src [n_corres, 2], idx_tgt [n_corres, 2], valid []):
     pano (x, y) coords; `valid` is 0 when fewer than `min_corres` matches
     exist, mirroring the reference's all-or-nothing contract.
     """
+    defaults = CORRES_PARAMS[config.canonical_dataset(dataset)]
+    n_query = defaults["n_query"] if n_query is None else n_query
+    n_corres = defaults["n_corres"] if n_corres is None else n_corres
+    min_corres = (defaults["min_corres"] if min_corres is None
+                  else min_corres)
+    masked_queries = (defaults["masked_queries"] if masked_queries is None
+                      else masked_queries)
+
     k1, k2 = jax.random.split(key)
     pc_s, val_s = skybox.pano_to_pointcloud(depth_s, dataset)
     pc_t, val_t = skybox.pano_to_pointcloud(depth_t, dataset)
@@ -48,7 +75,13 @@ def dense_correspondences(depth_s, depth_t, pose_s, pose_t, key,
     pc_t = pc_t @ Rt_inv[:3, :3].T + Rt_inv[:3, 3]
 
     n_pts = pc_s.shape[0]
-    q_idx = jax.random.randint(k1, (n_query,), 0, n_pts)
+    if masked_queries:
+        # sample queries from the masked (nonzero-depth) point cloud only
+        pq = val_s.astype(jnp.float32) + 1e-9
+        q_idx = jax.random.choice(k1, n_pts, (n_query,), replace=True,
+                                  p=pq / pq.sum())
+    else:
+        q_idx = jax.random.randint(k1, (n_query,), 0, n_pts)
     q = pc_s[q_idx]
     q_valid = val_s[q_idx]
 

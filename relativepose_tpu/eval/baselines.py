@@ -70,16 +70,32 @@ def run_classical_eval(args, cfg: harness.EvalConfig):
                                        entry_split=args.entrySplit)
     method = METHODS[args.method]
     runner = harness.EvalRunner(cfg)
-    for i in range(min(len(source), args.maxIter)):
+    # index-based resume: classical methods skip low-overlap pairs without
+    # recording, so resume from the highest recorded pair index instead of
+    # by count
+    start = 0
+    if runner.error_stats:
+        start = 1 + max(int(r.get("pair_idx", -1))
+                        for r in runner.error_stats)
+    for i in range(start, min(len(source), args.maxIter)):
         item = source[i]
         d_s, d_t = item["data_s"], item["data_t"]
         T_gt = jnp.asarray(item["T_gt"])
+        def _full(view, key):
+            # scannet classical baselines consume the original 480x640
+            # frame (evaluation.py:165-166); other datasets have none
+            return jnp.asarray(view[key]) if key in view else None
+
         pc_s, val_s, col_s = harness.parse_eval_data(
             jnp.asarray(d_s["depth"]), jnp.asarray(d_s["rgb"]),
-            jnp.asarray(d_s["norm"]), args.family, args.method)
+            jnp.asarray(d_s["norm"]), args.family, args.method,
+            depth_full=_full(d_s, "depth_full"),
+            rgb_full=_full(d_s, "rgb_full"))
         pc_t, val_t, col_t = harness.parse_eval_data(
             jnp.asarray(d_t["depth"]), jnp.asarray(d_t["rgb"]),
-            jnp.asarray(d_t["norm"]), args.family, args.method)
+            jnp.asarray(d_t["norm"]), args.family, args.method,
+            depth_full=_full(d_t, "depth_full"),
+            rgb_full=_full(d_t, "rgb_full"))
         ov = overlap_mod.point_cloud_overlap(pc_s, val_s, pc_t, val_t, T_gt)
         if float(ov["overlap"]) < 0.1:  # evaluation.py:190-191
             continue
@@ -90,7 +106,7 @@ def run_classical_eval(args, cfg: harness.EvalConfig):
         T_hat = np.asarray(method(ps, pt, cs, ct), np.float32)
         errs = harness.pose_errors(jnp.asarray(T_hat), T_gt, pc_s, val_s)
         runner.record({
-            "overlap": float(ov["overlap"]),
+            "overlap": float(ov["overlap"]), "pair_idx": i,
             "cam_dist": float(ov["cam_dist"]),
             "pc_dist": float(ov["pc_dist"]), "pc_nn": float(ov["pc_nn"]),
             **{k: float(v) for k, v in errs.items()}, "T_hat": T_hat})

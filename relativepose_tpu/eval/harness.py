@@ -89,12 +89,16 @@ def hyper_params_from_table(table: Optional[np.ndarray]) -> SolverHyperParams:
                              sigma_dist=t[:, 2], sigma_feat=t[:, 3])
 
 
-def parse_eval_data(depth, rgb, norm, dataset: str, method: str):
+def parse_eval_data(depth, rgb, norm, dataset: str, method: str,
+                    depth_full=None, rgb_full=None):
     """Observed-region point clouds + colors for overlap / baselines.
 
     Mirrors util.parse_data (util.py:42-92): suncg/matterport use the
-    second 160x160 face; scannet 'ours' uses the 66x88 kinect crop.
-    Fixed-shape: returns (pc [N, 3], valid [N], color [N, 3]).
+    second 160x160 face; scannet 'ours' uses the 66x88 kinect crop;
+    scannet with a classical method uses the ORIGINAL 480x640 kinect
+    frame (`depth_full`/`rgb_full`, evaluation.py:165-166, util.py:80-92)
+    — pass those tensors for that branch.  Fixed-shape: returns
+    (pc [N, 3], valid [N], color [N, 3]).
     """
     from relativepose_tpu import config
     ds = config.canonical_dataset(dataset)
@@ -103,12 +107,17 @@ def parse_eval_data(depth, rgb, norm, dataset: str, method: str):
         d = depth[:, F:2 * F]
         c = rgb[:, F:2 * F].reshape(-1, 3)
         pc, valid = skybox.face_depth_to_pointcloud(d, ds)
-    else:
+    elif "ours" in method or depth_full is None:
         r0, r1 = config.KINECT_ROW0, config.KINECT_ROW1
         c0, c1 = config.KINECT_COL0, config.KINECT_COL1
         d = depth[r0:r1, c0:c1]
         c = rgb[r0:r1, c0:c1].reshape(-1, 3)
         pc, valid = skybox.kinect_crop_to_pointcloud(d)
+    else:
+        # scannet + classical baseline: full-resolution source scan
+        pc, valid = skybox.kinect_full_to_pointcloud(depth_full)
+        c = (rgb_full.reshape(-1, 3) if rgb_full is not None
+             else jnp.zeros((pc.shape[0], 3), pc.dtype))
     return pc, valid, c
 
 
@@ -162,17 +171,24 @@ class EvalRunner:
         self.result_path = os.path.join(self.exp_dir,
                                         f"{cfg.exp}.result.npy")
         self.error_stats = []
-        if cfg.resume and os.path.exists(self.result_path):
-            self.error_stats = list(
-                np.load(self.result_path, allow_pickle=True))
         self.ad_stats = {b: [] for b in OVERLAP_BUCKETS}
         self.t_stats = {b: [] for b in OVERLAP_BUCKETS}
         self.speed = []
+        if cfg.resume and os.path.exists(self.result_path):
+            self.error_stats = list(
+                np.load(self.result_path, allow_pickle=True))
+            # replay prior results into the bucket statistics so the
+            # summary covers the whole accumulated run
+            for r in self.error_stats:
+                b = bucket_of(float(r["overlap"]))
+                self.ad_stats[b].append(float(r["err_ad"]))
+                self.t_stats[b].append(float(r["err_t"]))
 
     @property
-    def completed_runs(self) -> int:
-        # resume-by-count (evaluation.py:132-133)
-        return len(self.error_stats) // max(self.cfg.save_every, 1)
+    def n_done(self) -> int:
+        """Completed (repeat, pair) iterations — resume skips this many
+        (reference resume-by-count, evaluation.py:129-133)."""
+        return len(self.error_stats)
 
     def record(self, result: dict):
         b = bucket_of(float(result["overlap"]))
@@ -209,25 +225,45 @@ class EvalRunner:
         return out
 
 
-def evaluate_stream(pairs, eval_fn, cfg: EvalConfig, keys=None):
-    """Run the batched eval fn over an iterable of stacked pair batches.
+def evaluate_stream(pairs, eval_fn, cfg: EvalConfig, seed: int = 0):
+    """Run the batched eval fn over `cfg.num_repeat` passes of pair batches.
 
-    pairs: iterable of (data_s, data_t, T_gt) pytrees with leading batch
-    dim; yields per-pair result dicts into an EvalRunner and returns it.
+    pairs: either a zero-arg callable returning a fresh iterable of
+    (data_s, data_t, T_gt) batches (required for num_repeat > 1), or a
+    plain iterable (single pass).  All repeats accumulate into ONE result
+    file (reference semantics: evaluation.py:156-158 repeats append to
+    the same error_stats / .result.npy).  On resume, the first
+    `runner.n_done` (repeat, pair) iterations are skipped; keys are
+    seeded deterministically per (repeat, batch) so a resumed run
+    evaluates the same stochastic keypoints it would have.
     """
     runner = EvalRunner(cfg)
-    rng = jax.random.PRNGKey(int(time.time()) % (2**31))
-    for bi, (data_s, data_t, T_gt) in enumerate(pairs):
-        n = T_gt.shape[0]
-        rng, sub = jax.random.split(rng)
-        batch_keys = jax.random.split(sub, n)
-        t0 = time.time()
-        out = jax.device_get(eval_fn(data_s, data_t, T_gt, batch_keys))
-        dt = (time.time() - t0) / n
-        for i in range(n):
-            res = {k: np.asarray(v[i]) for k, v in out.items()}
-            res["sec_per_pair"] = dt
-            runner.speed.append(dt)
-            runner.record(res)
+    skip = runner.n_done
+    base = jax.random.PRNGKey(seed)
+    n_repeat = cfg.num_repeat if callable(pairs) else 1
+    g = 0
+    for rep in range(n_repeat):
+        rep_key = jax.random.fold_in(base, rep)
+        batches = pairs() if callable(pairs) else pairs
+        for bi, (data_s, data_t, T_gt) in enumerate(batches):
+            n = T_gt.shape[0]
+            if g + n <= skip:  # whole batch already done
+                g += n
+                continue
+            batch_keys = jax.random.split(
+                jax.random.fold_in(rep_key, bi), n)
+            t0 = time.time()
+            out = jax.device_get(eval_fn(data_s, data_t, T_gt, batch_keys))
+            dt = (time.time() - t0) / n
+            for i in range(n):
+                if g < skip:  # partially-done batch: record only the tail
+                    g += 1
+                    continue
+                res = {k: np.asarray(v[i]) for k, v in out.items()}
+                res["sec_per_pair"] = dt
+                res["repeat"] = rep
+                runner.speed.append(dt)
+                runner.record(res)
+                g += 1
     runner.save()
     return runner

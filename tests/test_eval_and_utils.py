@@ -56,7 +56,101 @@ class TestEvalHarness:
         r.save()
         r2 = harness.EvalRunner(cfg)
         assert len(r2.error_stats) == 4
-        assert r2.completed_runs == 2
+        assert r2.n_done == 4
+        # prior results replay into the bucket statistics
+        assert len(r2.ad_stats["0.1-0.5"]) == 4
+
+    def _stub_eval(self, calls):
+        def eval_fn(data_s, data_t, T_gt, keys):
+            calls.append(int(T_gt.shape[0]))
+            n = T_gt.shape[0]
+            return {"overlap": jnp.full((n,), 0.3),
+                    "err_ad": jnp.full((n,), 1.0),
+                    "err_t": jnp.full((n,), 0.1)}
+        return eval_fn
+
+    def _batches(self, n_pairs, batch):
+        out = []
+        for s in range(0, n_pairs, batch):
+            n = min(batch, n_pairs - s)
+            T = jnp.tile(jnp.eye(4), (n, 1, 1))
+            out.append(({"i": jnp.arange(s, s + n)},
+                        {"i": jnp.arange(s, s + n)}, T))
+        return out
+
+    def test_evaluate_stream_repeats_accumulate(self, tmp_path):
+        """num_repeat passes append to ONE result file
+        (evaluation.py:156-158); resume skips completed iterations."""
+        calls = []
+        cfg = harness.EvalConfig(exp="rep", out_dir=str(tmp_path),
+                                 num_repeat=2, save_every=100)
+        runner = harness.evaluate_stream(
+            lambda: self._batches(6, 2), self._stub_eval(calls), cfg)
+        assert len(runner.error_stats) == 12
+        assert [r["repeat"] for r in runner.error_stats] == [0] * 6 + [1] * 6
+        assert len(calls) == 6  # 3 batches x 2 repeats
+
+        # a fresh run over the same exp resumes and evaluates nothing new
+        calls2 = []
+        r2 = harness.evaluate_stream(
+            lambda: self._batches(6, 2), self._stub_eval(calls2), cfg)
+        assert len(r2.error_stats) == 12
+        assert calls2 == []
+
+    def test_evaluate_stream_resume_mid_run(self, tmp_path):
+        """Kill-and-resume completes with exactly num_repeat*n entries,
+        re-evaluating only the partial batch + remainder."""
+        cfg = harness.EvalConfig(exp="res", out_dir=str(tmp_path),
+                                 num_repeat=2, save_every=100)
+        # simulate a killed run: 3 of 12 results already on disk
+        pre = harness.EvalRunner(cfg)
+        for i in range(3):
+            pre.record({"overlap": 0.3, "err_ad": 1.0, "err_t": 0.1,
+                        "repeat": 0})
+        pre.save()
+
+        calls = []
+        runner = harness.evaluate_stream(
+            lambda: self._batches(6, 2), self._stub_eval(calls), cfg)
+        assert len(runner.error_stats) == 12
+        # batch 0 (pairs 0-1) skipped entirely; batch 1 re-run for its
+        # second half; everything after runs: 2 + 2x3 = 5 batches
+        assert len(calls) == 5
+
+    def test_parse_eval_data_scannet_method_branch(self):
+        """scannet + classical method consumes the ORIGINAL 480x640 frame
+        (util.py:80-92, evaluation.py:165-166); 'ours' uses the kinect
+        crop."""
+        rng = np.random.RandomState(0)
+        depth = jnp.asarray(rng.rand(160, 640).astype(np.float32) + 0.5)
+        rgb = jnp.asarray(rng.rand(160, 640, 3).astype(np.float32))
+        norm = jnp.asarray(rng.rand(160, 640, 3).astype(np.float32))
+        depth_full = jnp.asarray(
+            rng.rand(480, 640).astype(np.float32) + 0.5)
+        rgb_full = jnp.asarray(rng.rand(480, 640, 3).astype(np.float32))
+
+        pc_ours, val_ours, _ = harness.parse_eval_data(
+            depth, rgb, norm, "scannet", "ours",
+            depth_full=depth_full, rgb_full=rgb_full)
+        assert pc_ours.shape[0] == 66 * 88
+
+        pc_gs, val_gs, col_gs = harness.parse_eval_data(
+            depth, rgb, norm, "scannet", "gs",
+            depth_full=depth_full, rgb_full=rgb_full)
+        assert pc_gs.shape[0] == 480 * 640
+        assert col_gs.shape == (480 * 640, 3)
+        # full-frame lift uses the kinect intrinsics fudge factors
+        # (util.py:508-509)
+        from relativepose_tpu import config as rcfg
+        pc_np = np.asarray(pc_gs).reshape(480, 640, 3)
+        d_np = np.asarray(depth_full)
+        x_expect = ((320 / 640 - 0.5) * 2) * d_np[0, 320] / rcfg.KINECT_FX_DIV
+        assert pc_np[0, 320, 0] == pytest.approx(x_expect, rel=1e-5)
+
+        # without full tensors, classical falls back to the crop
+        pc_fb, _, _ = harness.parse_eval_data(
+            depth, rgb, norm, "scannet", "gs")
+        assert pc_fb.shape[0] == 66 * 88
 
     def test_default_sigma_tables_ship(self):
         for ds in ("suncg", "matterport", "scannet"):

@@ -66,6 +66,50 @@ class TestDataPipeline:
             jax.random.PRNGKey(0), "suncg")
         assert int(out["valid"]) == 0
 
+    def test_dense_correspondences_dataset_protocol(self):
+        """Per-dataset protocol (CORRES_PARAMS): scannet keeps 500 pairs,
+        needs >= 200 matches, and queries the MASKED pano pc only
+        (ScanNet.py:263-291); suncg keeps 2000/needs 500 over the full
+        grid (SUNCG.py:315-341)."""
+        from relativepose_tpu import config as rcfg
+        ds, dt, _ = synthetic.make_pair(3, "scannet", max_baseline=0.2)
+        # source observes only the kinect window (real scannet panos are
+        # sparse); target keeps the full pano
+        depth_s = np.zeros_like(np.asarray(ds["depth"]))
+        r0, r1 = rcfg.KINECT_ROW0, rcfg.KINECT_ROW1
+        c0, c1 = rcfg.KINECT_COL0, rcfg.KINECT_COL1
+        depth_s[r0:r1, c0:c1] = np.asarray(ds["depth"])[r0:r1, c0:c1]
+        args = (jnp.asarray(depth_s), jnp.asarray(dt["depth"]),
+                jnp.asarray(ds["pose"], jnp.float32),
+                jnp.asarray(dt["pose"], jnp.float32),
+                jax.random.PRNGKey(0), "scannet")
+
+        out = dpipe.dense_correspondences(*args)
+        assert out["idx_src"].shape == (500, 2)  # scannet n_corres
+        assert int(out["valid"]) == 1
+        # masked queries: every sampled source index lies in the observed
+        # (nonzero-depth) region
+        isrc = np.asarray(out["idx_src"])
+        assert ((isrc[:, 0] >= c0) & (isrc[:, 0] < c1)
+                & (isrc[:, 1] >= r0) & (isrc[:, 1] < r1)).all()
+
+        # with ~6% of the pano valid, 5000 uniform-grid queries yield only
+        # ~280 matches: the masked-pc pool is what makes >= 500 reachable
+        out_m = dpipe.dense_correspondences(*args, min_corres=500)
+        out_u = dpipe.dense_correspondences(*args, min_corres=500,
+                                            masked_queries=False)
+        assert int(out_m["valid"]) == 1
+        assert int(out_u["valid"]) == 0
+
+        # suncg protocol keeps 2000
+        ds2, dt2, _ = synthetic.make_pair(0, "suncg", max_baseline=0.3)
+        out2 = dpipe.dense_correspondences(
+            jnp.asarray(ds2["depth"]), jnp.asarray(dt2["depth"]),
+            jnp.asarray(ds2["pose"], jnp.float32),
+            jnp.asarray(dt2["pose"], jnp.float32),
+            jax.random.PRNGKey(0), "suncg")
+        assert out2["idx_src"].shape == (2000, 2)
+
     def test_reproj_augment_shapes_and_noise(self):
         ds, dt, _ = synthetic.make_pair(2, "suncg", max_baseline=0.3)
         view8 = jnp.concatenate(
