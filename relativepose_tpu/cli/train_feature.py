@@ -29,7 +29,12 @@ from relativepose_tpu.utils.trainer import Trainer
 
 def make_source(args, split: str, dataset: str):
     if "synthetic" in args.dataList:
-        n = 64 if args.debug else 2048
+        if args.debug:
+            n = 64
+        else:
+            n = getattr(args, "synthetic_n", None) or 2048
+            if split != "train":
+                n = max(64, n // 8)
         return dsets.SyntheticPairs(dataset, n=n,
                                     seed=0 if split == "train" else 10_000)
     return dsets.PanoPairDataset(dataset, split, args.listPath)

@@ -26,7 +26,30 @@ from typing import Iterator, Optional
 import numpy as np
 
 from relativepose_tpu import config
-from relativepose_tpu.core import quaternion as quat
+
+
+def _rot_to_quaternion_np(R: np.ndarray) -> np.ndarray:
+    """Host-side 3x3 -> (w,x,y,z), w>=0 — same pivot method as
+    core.quaternion.rot_to_quaternion, in numpy so the per-item loader
+    never dispatches device work (the axon tunnel makes tiny jnp ops
+    cost seconds each)."""
+    m = R
+    tr = m[0, 0] + m[1, 1] + m[2, 2]
+    cands = np.array([
+        [1.0 + tr, m[2, 1] - m[1, 2], m[0, 2] - m[2, 0], m[1, 0] - m[0, 1]],
+        [m[2, 1] - m[1, 2], 1.0 + m[0, 0] - m[1, 1] - m[2, 2],
+         m[0, 1] + m[1, 0], m[0, 2] + m[2, 0]],
+        [m[0, 2] - m[2, 0], m[0, 1] + m[1, 0],
+         1.0 + m[1, 1] - m[0, 0] - m[2, 2], m[1, 2] + m[2, 1]],
+        [m[1, 0] - m[0, 1], m[0, 2] + m[2, 0], m[1, 2] + m[2, 1],
+         1.0 + m[2, 2] - m[0, 0] - m[1, 1]],
+    ])
+    pivots = np.array([1.0 + tr, 1.0 + m[0, 0] - m[1, 1] - m[2, 2],
+                       1.0 + m[1, 1] - m[0, 0] - m[2, 2],
+                       1.0 + m[2, 2] - m[0, 0] - m[1, 1]])
+    q = cands[int(np.argmax(pivots))]
+    q = q / (np.linalg.norm(q) + 1e-12)
+    return q if q[0] >= 0 else -q
 
 try:
     import cv2
@@ -115,9 +138,7 @@ class PanoPairDataset:
                 @ np.linalg.inv(views[0]["pose"])).astype(np.float32)
         q = np.zeros((2, 7), np.float32)
         for i, v in enumerate(views):
-            import jax.numpy as jnp
-            q[i, :4] = np.asarray(
-                quat.rot_to_quaternion(jnp.asarray(v["pose"][:3, :3])))
+            q[i, :4] = _rot_to_quaternion_np(v["pose"][:3, :3])
             q[i, 4:] = v["pose"][:3, 3]
         return dict(data_s=data_s, data_t=data_t, T_gt=T_gt, Q=q,
                     imgs_path=(f"{rec.base}/{rec.id_src:06d}",
@@ -128,26 +149,64 @@ class SyntheticPairs:
     """Synthetic drop-in with the same item contract (tests/benchmarks)."""
 
     def __init__(self, dataset: str = "suncg", n: int = 100, seed: int = 0,
-                 max_baseline: float = 0.8, cache_size: int = 512):
+                 max_baseline: float = 0.8, cache_size: Optional[int] = None,
+                 cache_dir: Optional[str] = None):
+        """cache_size None = cache every item in RAM (a 160x640 pair is
+        ~3 MB; even 2048 pairs fit easily).  cache_dir, if set, persists
+        rendered pairs as .npz so separate runs (feature training,
+        completion training, eval) share one generated set."""
         self.dataset = dataset
         self.n = n
         self.seed = seed
         self.max_baseline = max_baseline
         self._cache = {}
-        self._cache_size = cache_size
+        self._cache_size = n if cache_size is None else cache_size
+        if cache_dir is None:
+            cache_dir = os.environ.get("RPTPU_SYNTH_CACHE") or None
+        self.cache_dir = cache_dir
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
 
     def __len__(self):
         return self.n
 
+    def _disk_path(self, index: int) -> Optional[str]:
+        if not self.cache_dir:
+            return None
+        return os.path.join(
+            self.cache_dir,
+            f"{self.dataset}_{self.seed + index}_{self.max_baseline:g}.npz")
+
     def __getitem__(self, index: int) -> dict:
         if index in self._cache:
             return self._cache[index]
-        from relativepose_tpu.data import synthetic
-        ds, dt, T_gt = synthetic.make_pair(
-            self.seed + index, self.dataset, max_baseline=self.max_baseline)
-        item = dict(data_s=ds, data_t=dt, T_gt=T_gt.astype(np.float32),
-                    Q=None, imgs_path=(f"synthetic/{index}/src",
-                                       f"synthetic/{index}/tgt"))
+        path = self._disk_path(index)
+        item = None
+        if path and os.path.exists(path):
+            try:
+                with np.load(path) as z:
+                    ds = {k[2:]: z[k] for k in z.files if k.startswith("s_")}
+                    dt = {k[2:]: z[k] for k in z.files if k.startswith("t_")}
+                    item = dict(data_s=ds, data_t=dt, T_gt=z["T_gt"], Q=None,
+                                imgs_path=(f"synthetic/{index}/src",
+                                           f"synthetic/{index}/tgt"))
+            except Exception:
+                item = None  # corrupt/partial file: re-render
+        if item is None:
+            from relativepose_tpu.data import synthetic
+            ds, dt, T_gt = synthetic.make_pair(
+                self.seed + index, self.dataset,
+                max_baseline=self.max_baseline)
+            item = dict(data_s=ds, data_t=dt, T_gt=T_gt.astype(np.float32),
+                        Q=None, imgs_path=(f"synthetic/{index}/src",
+                                           f"synthetic/{index}/tgt"))
+            if path:
+                tmp = path + f".tmp{os.getpid()}.npz"
+                np.savez(tmp,
+                         T_gt=item["T_gt"],
+                         **{f"s_{k}": v for k, v in ds.items()},
+                         **{f"t_{k}": v for k, v in dt.items()})
+                os.replace(tmp, path)
         if len(self._cache) < self._cache_size:
             self._cache[index] = item
         return item

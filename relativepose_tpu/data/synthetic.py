@@ -28,7 +28,6 @@ import dataclasses
 import numpy as np
 
 from relativepose_tpu import config
-from relativepose_tpu.core import skybox
 
 FACE = config.FACE
 H, W = config.PANO_HEIGHT, config.PANO_WIDTH
@@ -84,7 +83,11 @@ def render_pano(room: Room, R_wc, t_wc, dataset: str):
     camera-frame, segm [H, W] int).  Camera must be inside the room.
     """
     ds = config.canonical_dataset(dataset)
-    rots = np.asarray(skybox.face_rotations(ds))
+    # Host numpy constant — calling skybox.face_rotations here would
+    # dispatch a tiny jnp op to the accelerator per rendered pano, which
+    # over the axon tunnel costs seconds (it dominated make_pair).
+    rots = config.FACE_ROTATIONS[list(config.FACE_ORDER[ds])].astype(
+        np.float64)
     cam_center = -R_wc.T @ t_wc
 
     ys, xs = np.meshgrid(range(FACE), range(FACE), indexing="ij")
