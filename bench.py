@@ -10,24 +10,41 @@ and prints ONE json line:
 
 Baseline: the reference repo records no numbers (BASELINE.md) — its
 evaluation loop runs SCNet on GPU but warping, SIFT, and the ARPACK
-spectral/IRLS solver on host CPU per pair (evaluation.py:232-284).  We use
-a measured stand-in: the reference's torch/numpy path on this machine's
-CPU is ~2 s/pair, and published per-pair times for comparable
-completion+spectral-matching pipelines on a V100 are in the 1-3 s range,
-so REFERENCE_PAIRS_PER_SEC = 0.5 (2 s/pair).  BASELINE.json's north star
-(>= 50x on a v5e-8, i.e. >= 6.25x per chip at linear scaling) is judged
-against that same figure.
+spectral/IRLS solver on host CPU per pair (evaluation.py:232-284).
+`tools/measure_reference_baseline.py` times the reference's OWN code
+(the repaired rpmodule irls+sm solver on primitives from this repo's
+pipeline, util.warping, cv2 SIFT, torch-CPU SCNet) on this machine and
+writes BASELINE_MEASURED.json; `vs_baseline` divides by its
+`reference_pairs_per_sec_free_gpu` — the per-pair rate with the network
+charged at ZERO cost (an upper bound on any GPU deployment of the
+reference, whose warp/SIFT/solver stay on host).  Fallback when the
+measurement file is absent: the round-1 estimate 0.5 pairs/sec.
+
+MFU: flops come from XLA's cost analysis of the compiled pipeline;
+peak is the v5e (TPU v5 lite) bf16 figure, 197 TFLOP/s/chip.
 """
 
 import argparse
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_PAIRS_PER_SEC = 0.5
+_FALLBACK_PAIRS_PER_SEC = 0.5
+V5E_PEAK_FLOPS = 197e12
+
+
+def reference_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            m = json.load(f)
+        return m["reference_pairs_per_sec_free_gpu"], "measured_free_gpu"
+    return _FALLBACK_PAIRS_PER_SEC, "estimate"
 
 
 def build_bench(batch_pairs: int, alter_steps: int):
@@ -89,6 +106,13 @@ def main():
 
     fn, fargs, T_gts = build_bench(args.batch_pairs, args.alter_steps)
 
+    # XLA's flop count for the whole compiled pipeline (per call)
+    try:
+        cost = fn.lower(*fargs).compile().cost_analysis()
+        flops_per_call = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        flops_per_call = 0.0
+
     def sync(x):
         # On the axon tunnel jax.block_until_ready does NOT block
         # (docs/PERFORMANCE.md); fetching one element is a real sync.
@@ -115,13 +139,20 @@ def main():
             jnp.asarray(T_gts[:, :3, :3].astype(np.float32))))
         print(f"# rot err deg (untrained SCNet): median {np.median(errs):.1f}")
 
-    print(json.dumps({
+    ref_pps, ref_kind = reference_baseline()
+    out = {
         "metric": "pano pairs/sec/chip, full 3-step complete<->match<->solve"
                   " pipeline",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/sec/chip",
-        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
-    }))
+        "vs_baseline": round(pairs_per_sec / ref_pps, 2),
+        "baseline_pairs_per_sec": ref_pps,
+        "baseline_kind": ref_kind,
+    }
+    if flops_per_call > 0:
+        out["mfu"] = round(flops_per_call / args.batch_pairs
+                           * pairs_per_sec / V5E_PEAK_FLOPS, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -81,6 +81,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_training_args(p)
     p.add_argument("--synthetic_family", type=str, default="suncg")
+    p.add_argument("--synthetic_n", type=int, default=None,
+                   help="synthetic train-set size (val = n/8)")
     p.add_argument("--train_duration", type=float, default=300.0)
     p.add_argument("--save_every", type=int, default=5)
     args = p.parse_args(argv)
