@@ -36,6 +36,10 @@ def add_common_training_args(p: argparse.ArgumentParser):
                    help="bfloat16 compute for the conv nets")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--ngf", type=int, default=64,
+                   help="SCNet width (shrink for CPU tests)")
+    p.add_argument("--base_width", type=int, default=64,
+                   help="ResNet stem width (shrink for CPU tests)")
     return p
 
 

@@ -52,6 +52,8 @@ def _parse_args(argv=None):
     p.add_argument("--entrySplit", type=int, default=None)
     p.add_argument("--batch_pairs", type=int, default=4)
     p.add_argument("--comp_ckpt", type=str, default=None)
+    p.add_argument("--ngf", type=int, default=64,
+                   help="SCNet width (must match the checkpoint)")
     p.add_argument("--bf16", type=int, default=1)
     # reference model-shape flags (evaluation.py:62-65)
     p.add_argument("--skipLayer", type=int, default=1,
@@ -93,7 +95,7 @@ def scnet_fn_factory_from_checkpoint(args, layout: ChannelLayout):
             raise FileNotFoundError(args.comp_ckpt)
         params = state["params"]
         net = SCNet(output_type=args.outputType, snumclass=args.snumclass,
-                    feature_dim=args.featureDim,
+                    feature_dim=args.featureDim, ngf=args.ngf,
                     batchnorm=bool(args.batchnorm),
                     skip_layer=bool(args.skipLayer),
                     use_tanh=bool(args.useTanh),

@@ -54,6 +54,7 @@ def main(argv=None):
         geometric_weight=bool(args.GeometricWeight),
         dynamic_weighting=bool(args.dynamicWeighting),
         pn_loss=bool(args.pnloss), margin=args.D,
+        ngf=args.ngf, base_width=args.base_width,
         dtype=jnp.bfloat16 if args.bf16 else None)
 
     net_f_params = None

@@ -94,6 +94,7 @@ def main(argv=None):
         snumclass=args.snumclass, feature_dim=args.featureDim,
         use_tanh=bool(args.useTanh), margin=args.D,
         featlearn_segm=bool(getattr(args, "featlearnSegm", 0)),
+        base_width=args.base_width,
         dtype=jnp.bfloat16 if args.bf16 else None)
 
     state = feature.init_state(jax.random.PRNGKey(0), cfg)
