@@ -72,17 +72,25 @@ def _gauss_taps(sigma: float, radius: int):
 
 
 def _blur(img, sigma, radius=None):
-    """Separable gaussian blur of img [h, w]."""
+    """Separable gaussian blur of img [h, w] with edge-replicate padding.
+
+    Replicate (not zero) padding matters: zero padding darkens a flat image
+    near its borders, and the difference of two blurs with different radii
+    then produces phantom DoG responses up to ~3*sigma pixels deep — spurious
+    "keypoints" on textureless white walls.  With replicate padding a flat
+    image is an exact fixed point of the blur at every scale.
+    """
     radius = radius or max(1, int(3 * sigma + 0.5))
     taps = jnp.asarray(_gauss_taps(float(sigma), radius))
-    x = img[None, :, :, None]
+    padded = jnp.pad(img, ((radius, radius), (radius, radius)), mode="edge")
+    x = padded[None, :, :, None]
     kh = taps.reshape(-1, 1, 1, 1)
     kw = taps.reshape(1, -1, 1, 1)
     dn = ("NHWC", "HWIO", "NHWC")
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn)
+        x, kh, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn)
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn)
+        x, kw, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn)
     return x[0, :, :, 0]
 
 

@@ -26,6 +26,33 @@ class TestPlot:
         im = plot_utils.plot_keypoints_3d(rng.randn(50, 3))
         assert im.dtype == np.uint8
 
+    def test_voxels_both_modes(self, rng):
+        vox = (rng.rand(8, 8, 8, 1) > 0.7).astype(np.float32)
+        im1 = plot_utils.plot_voxels(vox, mode="fix_size")
+        im2 = plot_utils.plot_voxels(rng.rand(8, 8, 8), mode="weighted")
+        for im in (im1, im2):
+            assert im.dtype == np.uint8 and im.std() > 0
+
+    def test_keypoint_sets_align_recovers_shape(self, rng):
+        # two copies of the same skeleton under different rigid poses
+        # must coincide after align=True (visualize_keypoint 'align')
+        base = rng.randn(3, 12)
+        theta = 0.8
+        R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                      [np.sin(theta), np.cos(theta), 0], [0, 0, 1.0]])
+        kp = np.stack([base, R @ base + np.array([[1.0], [2.0], [-0.5]])])
+        edges = [(0, 1), (1, 2), (2, 3)]
+        im = plot_utils.plot_keypoint_sets(kp, edges=edges, align=True)
+        assert im.dtype == np.uint8 and im.std() > 0
+        im2 = plot_utils.plot_keypoint_sets(kp, edges=edges, align=False)
+        assert im2.dtype == np.uint8
+
+    def test_contour(self, rng):
+        ys, xs = np.meshgrid(np.linspace(-1, 1, 40), np.linspace(-1, 1, 40),
+                             indexing="ij")
+        im = plot_utils.plot_contour(np.hypot(xs, ys), n_levels=10)
+        assert im.dtype == np.uint8 and im.std() > 0
+
 
 class TestImgUtils:
     def test_crop_center_identity(self, rng):

@@ -128,6 +128,35 @@ class TestDataPipeline:
         assert 0.0 <= ang < 60.0
         assert float(out["box"].max()) == 1.0
 
+    def test_reproj_sources_observed_face_only(self):
+        """Reproj lifts ONLY the observed region: face 1 for
+        suncg/matterport (SUNCG.py:375-377 slices h*h:2*h*h,
+        Matterport3D.py:284-288 lifts face 1 via depth2pc), the kinect
+        crop for scannet (ScanNet.py:293-356).  Poison every
+        non-observed pixel with rgb=1 and assert nothing splats red."""
+        from relativepose_tpu import config as rcfg
+        for family, obs_cols in (
+                ("matterport", (rcfg.FACE, 2 * rcfg.FACE)),
+                ("suncg", (rcfg.FACE, 2 * rcfg.FACE))):
+            ds, dt, _ = synthetic.make_pair(5, family, max_baseline=0.3)
+            rgb = np.zeros((160, 640, 3), np.float32)
+            rgb[:, :obs_cols[0]] = 1.0
+            rgb[:, obs_cols[1]:] = 1.0
+            # observed face carries 0.5-gray so the splat itself is visible
+            rgb[:, obs_cols[0]:obs_cols[1]] = 0.5
+            view8 = jnp.concatenate(
+                [jnp.asarray(rgb), jnp.asarray(ds["norm"]),
+                 jnp.asarray(ds["depth"])[..., None],
+                 jnp.ones((160, 640, 1))], -1)
+            out = dpipe.reproj_augment(
+                view8, jnp.asarray(ds["pose"], jnp.float32),
+                jnp.asarray(dt["pose"], jnp.float32),
+                jax.random.PRNGKey(0), family)
+            warped_rgb = np.asarray(out["view8"][..., 0:3])
+            mask = np.asarray(out["view8"][..., 7]) > 0
+            assert mask.any(), family
+            assert warped_rgb[mask].max() <= 0.5 + 1e-5, family
+
 
 SMALL_F = dict(base_width=8)
 SMALL_C = dict(ngf=8, base_width=8)
