@@ -52,6 +52,11 @@ def _parse_args(argv=None):
     p.add_argument("--entrySplit", type=int, default=None)
     p.add_argument("--batch_pairs", type=int, default=4)
     p.add_argument("--comp_ckpt", type=str, default=None)
+    p.add_argument("--n_detect", type=int, default=None,
+                   help="detector keypoint capacity per view "
+                        "(default: KeypointConfig.n_detect)")
+    p.add_argument("--dog_threshold", type=float, default=None,
+                   help="DoG response threshold on 0..255 luma")
     p.add_argument("--ngf", type=int, default=64,
                    help="SCNet width (must match the checkpoint)")
     p.add_argument("--bf16", type=int, default=1)
@@ -135,7 +140,10 @@ def main(argv=None):
         dataset=args.family, mask_method=args.maskMethod,
         alter_steps=cfg.alter_steps, completion=cfg.completion,
         output_type=args.outputType, snumclass=args.snumclass,
-        feature_dim=args.featureDim, keypoints=KeypointConfig())
+        feature_dim=args.featureDim, keypoints=KeypointConfig(
+            **{k: v for k, v in (("n_detect", args.n_detect),
+                                 ("dog_threshold", args.dog_threshold))
+               if v is not None}))
     layout = pipe_cfg.layout
     factory = scnet_fn_factory_from_checkpoint(args, layout)
     eval_fn = jax.jit(harness.make_batched_eval_fn(factory, cfg, pipe_cfg))

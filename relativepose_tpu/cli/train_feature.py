@@ -41,11 +41,22 @@ def make_source(args, split: str, dataset: str):
 
 
 def batch_iterator(source, args, dataset: str, key_seed: int):
-    """Host loader -> device-side sample assembly (denseCorres on TPU)."""
+    """Host loader -> device-side sample assembly (denseCorres on TPU).
+
+    Host->device transfers ride a ~25 MB/s tunnel on this environment, so
+    pano batches are shipped in the reference's own on-disk precision —
+    rgb uint8 (png), normals int8 ((v/255)*2-1 pngs), depth f16 (mm-level,
+    vs the reference's uint16-mm pngs) — and decoded to f32 on device:
+    ~52 MB -> ~14 MB per batch-8 step (3.7x less tunnel time per step).
+    """
     rng = np.random.RandomState(key_seed)
 
     @functools.partial(jax.jit, static_argnames=())
-    def assemble(rgb, norm, depth, poses, segm, key):
+    def assemble(rgb_u8, norm_i8, depth_f16, poses, segm_u8, key):
+        rgb = rgb_u8.astype(jnp.float32) / 255.0
+        norm = norm_i8.astype(jnp.float32) / 127.0
+        depth = depth_f16.astype(jnp.float32)
+        segm = segm_u8.astype(jnp.int32)
         return jax.vmap(
             lambda r, n, d, p, s, k: dpipe.assemble_pair_batch(
                 r, n, d, p, s, k, dataset, feature_learning=True)
@@ -58,16 +69,25 @@ def batch_iterator(source, args, dataset: str, key_seed: int):
             item = source[int(i)]
             buf.append(item)
             if len(buf) == args.batch_size:
-                stack = lambda f: jnp.asarray(np.stack(
-                    [np.stack([b["data_s"][f], b["data_t"][f]]) for b in buf]))
+                def stack(f, enc):
+                    return jnp.asarray(np.stack(
+                        [np.stack([enc(b["data_s"][f]), enc(b["data_t"][f])])
+                         for b in buf]))
+                enc_rgb = lambda a: np.clip(
+                    np.asarray(a) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                enc_norm = lambda a: np.clip(
+                    np.round(np.asarray(a) * 127.0), -127, 127).astype(np.int8)
+                enc_depth = lambda a: np.asarray(a, np.float16)
+                enc_segm = lambda a: np.asarray(a, np.uint8)
                 keys = jax.random.split(
                     jax.random.PRNGKey(rng.randint(2**31)), len(buf))
-                yield assemble(stack("rgb"), stack("norm"), stack("depth"),
+                yield assemble(stack("rgb", enc_rgb), stack("norm", enc_norm),
+                               stack("depth", enc_depth),
                                jnp.asarray(np.stack(
                                    [np.stack([b["data_s"]["pose"],
                                               b["data_t"]["pose"]])
                                     for b in buf])).astype(jnp.float32),
-                               stack("segm"), keys)
+                               stack("segm", enc_segm), keys)
                 buf = []
 
     class _Loader:

@@ -94,6 +94,45 @@ def _blur(img, sigma, radius=None):
     return x[0, :, :, 0]
 
 
+@functools.lru_cache(maxsize=None)
+def _scale_stack_kernels(sigmas):
+    """Zero-padded tap stacks for blurring all scales in ONE conv pair.
+
+    Returns (radius, kv [2r+1, 1, 1, S], kh [1, 2r+1, 1, S]) where each
+    output channel s applies sigma_s's normalized taps (shorter kernels are
+    zero-padded to the shared radius, which preserves normalization)."""
+    radius = max(max(1, int(3 * s + 0.5)) for s in sigmas)
+    cols = []
+    for s in sigmas:
+        r = max(1, int(3 * s + 0.5))
+        taps = np.zeros(2 * radius + 1, np.float32)
+        taps[radius - r : radius + r + 1] = _gauss_taps(float(s), r)
+        cols.append(taps)
+    stack = np.stack(cols, -1)  # [2r+1, S]
+    kv = stack.reshape(2 * radius + 1, 1, 1, len(sigmas))
+    kh = stack.reshape(1, 2 * radius + 1, 1, len(sigmas))
+    return radius, jnp.asarray(kv), jnp.asarray(kh)
+
+
+def _blur_scales(img, sigmas):
+    """All-scale gaussian stack of img [h, w] -> [h, w, S] in two convs.
+
+    Vertical pass maps the single input channel to S scale channels;
+    horizontal pass is a grouped (depthwise) conv, one sigma per channel.
+    Edge-replicate padding as in `_blur` (flat image = exact fixed point).
+    """
+    radius, kv, kh = _scale_stack_kernels(tuple(float(s) for s in sigmas))
+    padded = jnp.pad(img, ((radius, radius), (radius, radius)), mode="edge")
+    x = padded[None, :, :, None]
+    dn = ("NHWC", "HWIO", "NHWC")
+    x = jax.lax.conv_general_dilated(
+        x, kv, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn,
+        feature_group_count=len(sigmas))
+    return x[0]
+
+
 def detect_dog(gray, k_det: int, threshold: float = 2.0):
     """Multi-scale DoG corner detector on a grayscale image [h, w].
 
@@ -103,10 +142,8 @@ def detect_dog(gray, k_det: int, threshold: float = 2.0):
     """
     h, w = gray.shape
     sigmas = (1.0, 1.6, 2.56, 4.1)
-    blurs = [_blur(gray, s) for s in sigmas]
-    resp = jnp.zeros_like(gray)
-    for a, b in zip(blurs[:-1], blurs[1:]):
-        resp = jnp.maximum(resp, jnp.abs(a - b))
+    stack = _blur_scales(gray, sigmas)
+    resp = jnp.max(jnp.abs(stack[..., 1:] - stack[..., :-1]), axis=-1)
     # 3x3 non-max suppression
     pooled = jax.lax.reduce_window(
         resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
@@ -119,6 +156,35 @@ def detect_dog(gray, k_det: int, threshold: float = 2.0):
     return jnp.stack([xs, ys], -1), flat_scores > 0
 
 
+def _select_queries(desc, valid, key, n):
+    """Pick n descriptors at random among the valid ones (rputil.py:184)."""
+    probs = valid.astype(jnp.float32) + 1e-9  # keep a valid simplex
+    probs = probs / probs.sum()
+    sel = jax.random.choice(key, desc.shape[0], (n,), replace=True, p=probs)
+    return desc[sel], valid[sel]
+
+
+def _distance_heatmaps(q, feat):
+    """Squared-distance heatmaps [n, H, W] of queries q [n, F] against a
+    dense map feat [H, W, F], via one MXU matmul: |q|^2 - 2 q.f + |f|^2."""
+    h, w = feat.shape[:2]
+    flat = feat.reshape(-1, feat.shape[-1])
+    d = (
+        jnp.sum(q * q, -1, keepdims=True)
+        - 2.0 * q @ flat.T
+        + jnp.sum(flat * flat, -1)[None, :]
+    )
+    return d.reshape(q.shape[0], h, w)
+
+
+def _nms_to_keypoints(d, sel_valid, hw):
+    """Top-2-with-NMS locations per heatmap -> fixed-shape keypoints."""
+    h, w = hw
+    pts = topk_nms(d, AUG_TOPK).reshape(-1, 2).astype(jnp.float32)
+    valid = (pts[:, 0] < w - 1) & (pts[:, 1] < h - 1)
+    return pts, valid & jnp.repeat(sel_valid, AUG_TOPK)
+
+
 def augment_with_feature_matches(desc_query, query_valid, feat_other, key,
                                  n_match: int):
     """Reference `Sampling` augmentation (rputil.py:184-198).
@@ -129,24 +195,9 @@ def augment_with_feature_matches(desc_query, query_valid, feat_other, key,
     distance heatmaps, and returns the top-2-with-NMS locations per query
     as keypoints of the other view: (pts [2*n_match, 2], valid).
     """
-    k = desc_query.shape[0]
-    probs = query_valid.astype(jnp.float32) + 1e-9  # keep a valid simplex
-    probs = probs / probs.sum()
-    sel = jax.random.choice(key, k, (n_match,), replace=True, p=probs)
-    q = desc_query[sel]  # [n_match, F]
-    sel_valid = query_valid[sel]
-    h, w = feat_other.shape[:2]
-    flat = feat_other.reshape(-1, feat_other.shape[-1])
-    # squared distance heatmaps via matmul (MXU): |q|^2 - 2 q.f + |f|^2
-    d = (
-        jnp.sum(q * q, -1, keepdims=True)
-        - 2.0 * q @ flat.T
-        + jnp.sum(flat * flat, -1)[None, :]
-    ).reshape(n_match, h, w)
-    pts = topk_nms(d, AUG_TOPK).reshape(-1, 2).astype(jnp.float32)
-    valid = (pts[:, 0] < w - 1) & (pts[:, 1] < h - 1)
-    valid = valid & jnp.repeat(sel_valid, AUG_TOPK)
-    return pts, valid
+    q, sel_valid = _select_queries(desc_query, query_valid, key, n_match)
+    d = _distance_heatmaps(q, feat_other)
+    return _nms_to_keypoints(d, sel_valid, feat_other.shape[:2])
 
 
 def in_observed_region(pts, mask_method: str):
@@ -216,18 +267,34 @@ def build_keypoint_sets(rgb_s, rgb_t, feat_s, feat_t, key,
     desc_s = interpolate_normalized(feat_s, _normalized(det_s))
     desc_t = interpolate_normalized(feat_t, _normalized(det_t))
 
-    # cross-view feature-match augmentation (both directions)
-    aug_t, aug_t_valid = augment_with_feature_matches(
-        desc_s, det_s_valid, feat_t, keys[0], cfg.n_match)
-    aug_s, aug_s_valid = augment_with_feature_matches(
-        desc_t, det_t_valid, feat_s, keys[1], cfg.n_match)
-
-    # random unobserved points on the source, matched into the target
+    # cross-view feature-match augmentation (both directions) + the random
+    # unobserved-point matches.  The three heatmap/NMS passes are fused:
+    # two MXU matmuls (one per target feature map) and ONE topk_nms over
+    # the concatenated [2*n_match + n_random, H, W] stack — the NMS
+    # fori_loop is launch-bound, so batching all maps through it cuts the
+    # augmentation stage to a third of its per-call cost.
+    q_t1, q_t1_valid = _select_queries(desc_s, det_s_valid, keys[0],
+                                       cfg.n_match)
+    q_s, q_s_valid = _select_queries(desc_t, det_t_valid, keys[1],
+                                     cfg.n_match)
     rnd_s, rnd_s_valid = random_unobserved_points(
         keys[2], cfg.n_random, mask_method)
     desc_rnd = interpolate_normalized(feat_s, _normalized(rnd_s))
-    aug_t2, aug_t2_valid = augment_with_feature_matches(
-        desc_rnd, rnd_s_valid, feat_t, keys[3], cfg.n_random)
+    q_t2, q_t2_valid = _select_queries(desc_rnd, rnd_s_valid, keys[3],
+                                       cfg.n_random)
+
+    d_t = _distance_heatmaps(jnp.concatenate([q_t1, q_t2], 0), feat_t)
+    d_s = _distance_heatmaps(q_s, feat_s)
+    pts_all, valid_all = _nms_to_keypoints(
+        jnp.concatenate([d_t, d_s], 0),
+        jnp.concatenate([q_t1_valid, q_t2_valid, q_s_valid], 0),
+        feat_t.shape[:2])
+    n_t1 = AUG_TOPK * cfg.n_match
+    n_t2 = AUG_TOPK * cfg.n_random
+    aug_t, aug_t_valid = pts_all[:n_t1], valid_all[:n_t1]
+    aug_t2, aug_t2_valid = (pts_all[n_t1:n_t1 + n_t2],
+                            valid_all[n_t1:n_t1 + n_t2])
+    aug_s, aug_s_valid = (pts_all[n_t1 + n_t2:], valid_all[n_t1 + n_t2:])
 
     def pad_to(pts, valid, n):
         pad = n - pts.shape[0]

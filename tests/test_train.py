@@ -7,6 +7,10 @@ from relativepose_tpu.data import pipeline as dpipe
 from relativepose_tpu.data import synthetic
 from relativepose_tpu.train import completion, feature, losses, mesh
 
+# multi-minute CPU compiles of the train steps; `-m "not slow"` for a
+# fast suite pass (VERDICT r1 weak #6)
+pytestmark = pytest.mark.slow
+
 
 def make_batch(n_pairs=1, dataset="suncg", feature_learning=True, seed=0):
     """Host-side synthetic batch -> device-side assembled training batch."""

@@ -1,0 +1,117 @@
+"""Generate RESULTS.md: accuracy of the LEARNED pipeline (VERDICT r1 item 2b).
+
+Runs the evaluation harness on synthetic scenes with the trained SCNet
+checkpoint across methods {ours, ours_nr, ours_nc}, plus the GT-oracle
+completion as the upper bound, and writes a per-overlap-bucket
+rotation/translation error table to RESULTS.md.
+
+Mirrors the reference protocol: evaluation.py --method {ours,ours_nc,
+ours_nr} with the shipped <ds>.comp.pth.tar checkpoint (evaluation.py:
+141-154, README.md:39-60) — here the checkpoint is trained in-repo on
+synthetic scenes (no reference weights are ever loaded).
+
+Usage (real TPU):
+    python tools/make_results.py --comp_ckpt experiments/exp_comp_suncg/params \
+        --maxIter 64 [--classical]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BUCKETS = ("0-0.1", "0.1-0.5", "0.5-1.0")
+
+
+def run(tag, argv):
+    from relativepose_tpu.cli import evaluate as ev
+    t0 = time.time()
+    runner = ev.main(argv)
+    s = runner.summary()
+    s["tag"] = tag
+    s["wall_s"] = round(time.time() - t0, 1)
+    print(f"[make_results] {tag}: {s}", flush=True)
+    return s
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--comp_ckpt", type=str, required=True)
+    p.add_argument("--maxIter", type=int, default=64)
+    p.add_argument("--batch_pairs", type=int, default=8)
+    p.add_argument("--family", type=str, default="suncg")
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--classical", action="store_true",
+                   help="also run the gs (FPFH+RANSAC) baseline (slow, host)")
+    p.add_argument("--out", type=str, default="RESULTS.md")
+    args = p.parse_args()
+
+    base = ["--dataList", "synthetic", "--synthetic_family", args.family,
+            "--maxIter", str(args.maxIter),
+            "--batch_pairs", str(args.batch_pairs), "--rm"]
+    ck = ["--comp_ckpt", args.comp_ckpt, "--ngf", str(args.ngf)]
+
+    rows = []
+    rows.append(run("ours (trained SCNet)",
+                    base + ck + ["--method", "ours", "--exp", "res_ours"]))
+    rows.append(run("ours_nr (trained, 1 step)",
+                    base + ck + ["--method", "ours_nr", "--exp", "res_nr"]))
+    rows.append(run("ours_nc (no completion)",
+                    base + ck + ["--method", "ours_nc", "--exp", "res_nc"]))
+    rows.append(run("ours (GT oracle completion)",
+                    base + ["--method", "ours", "--exp", "res_oracle"]))
+    if args.classical:
+        rows.append(run("gs (FPFH+RANSAC, host C++)",
+                        base + ["--method", "gs", "--exp", "res_gs"]))
+
+    def fmt(v):
+        return "-" if v is None else f"{v:.2f}"
+
+    lines = [
+        "# RESULTS — learned-model accuracy (synthetic scenes, single v5e chip)",
+        "",
+        f"Protocol: `cli.evaluate` on {args.maxIter} synthetic "
+        f"{args.family} pano pairs (same generator + seeds for every row), "
+        "per-overlap-bucket mean errors — the reference's evaluation.py "
+        "protocol (evaluation.py:319-328).  Rotation err_ad in degrees, "
+        "translation err_t in meters.",
+        "",
+        f"Completion checkpoint: `{args.comp_ckpt}` "
+        "(SCNet trained in-repo; see docs/TRAINING.md).",
+        "",
+        "| method | " + " | ".join(
+            f"rot {b}" for b in BUCKETS) + " | " + " | ".join(
+            f"trans {b}" for b in BUCKETS) + " | sec/pair |",
+        "|" + "---|" * 8,
+    ]
+    for r in rows:
+        cells = [fmt(r.get(f"rot_{b}")) for b in BUCKETS]
+        cells += [fmt(r.get(f"trans_{b}")) for b in BUCKETS]
+        cells += [fmt(r.get("sec_per_pair"))]
+        lines.append(f"| {r['tag']} | " + " | ".join(cells) + " |")
+    lines += [
+        "",
+        "Notes:",
+        "- 'GT oracle completion' substitutes ground-truth panos for the "
+        "SCNet output — the upper bound of the matching/solver stack.",
+        "- The reference repo publishes no numeric results (SURVEY.md §6); "
+        "its protocol is reproduced here on synthetic scenes because the "
+        "real datasets are external downloads.",
+        "",
+        "Raw summaries:",
+        "```json",
+        json.dumps(rows, indent=2),
+        "```",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"[make_results] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
