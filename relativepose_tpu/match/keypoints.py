@@ -100,7 +100,11 @@ def _scale_stack_kernels(sigmas):
 
     Returns (radius, kv [2r+1, 1, 1, S], kh [1, 2r+1, 1, S]) where each
     output channel s applies sigma_s's normalized taps (shorter kernels are
-    zero-padded to the shared radius, which preserves normalization)."""
+    zero-padded to the shared radius, which preserves normalization).
+
+    NOTE: returns numpy, not jnp — this function is reached from inside
+    jit traces, and caching `jnp.asarray` results made under a trace
+    leaks tracers into every later trace (UnexpectedTracerError)."""
     radius = max(max(1, int(3 * s + 0.5)) for s in sigmas)
     cols = []
     for s in sigmas:
@@ -111,7 +115,7 @@ def _scale_stack_kernels(sigmas):
     stack = np.stack(cols, -1)  # [2r+1, S]
     kv = stack.reshape(2 * radius + 1, 1, 1, len(sigmas))
     kh = stack.reshape(1, 2 * radius + 1, 1, len(sigmas))
-    return radius, jnp.asarray(kv), jnp.asarray(kh)
+    return radius, kv, kh
 
 
 def _blur_scales(img, sigmas):
@@ -121,7 +125,9 @@ def _blur_scales(img, sigmas):
     horizontal pass is a grouped (depthwise) conv, one sigma per channel.
     Edge-replicate padding as in `_blur` (flat image = exact fixed point).
     """
-    radius, kv, kh = _scale_stack_kernels(tuple(float(s) for s in sigmas))
+    radius, kv_np, kh_np = _scale_stack_kernels(
+        tuple(float(s) for s in sigmas))
+    kv, kh = jnp.asarray(kv_np), jnp.asarray(kh_np)
     padded = jnp.pad(img, ((radius, radius), (radius, radius)), mode="edge")
     x = padded[None, :, :, None]
     dn = ("NHWC", "HWIO", "NHWC")
