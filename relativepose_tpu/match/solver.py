@@ -76,6 +76,12 @@ class SolverStaticConfig:
     # kernel (ops/pallas_kernels.py) wins when C grows past VMEM-friendly
     # batching; flip this on to use it.
     use_pallas: bool = False
+    # Pallas fused pair-weight build.  The XLA pair_weight_matrix
+    # materializes ~15 [C, C] f32 temporaries through HBM; the Pallas
+    # kernel (ops/pallas_kernels.py::pair_weight_matrix_vmem) builds each
+    # [256, 256] tile entirely in VMEM from [C]-sized inputs.  Applied on
+    # TPU backends only (the XLA path remains the CPU/test reference).
+    pallas_w_build: bool = True
 
 
 @dataclasses.dataclass
@@ -405,7 +411,13 @@ def estimate_relative_pose(data_s, data_t, hp: SolverHyperParams,
     obs_prod = w_s[src_idx] * w_t[tgt_idx]
     cvalid = valid_s[src_idx] & valid_t[tgt_idx] & (f > 0)
 
-    W, counts = pair_weight_matrix(ps, pt, ns, nt, f, obs_prod, cvalid, hp)
+    if cfg.pallas_w_build and jax.default_backend() == "tpu":
+        from relativepose_tpu.ops.pallas_kernels import pair_weight_matrix_vmem
+        W, counts = pair_weight_matrix_vmem(
+            ps, pt, ns, nt, f, obs_prod, cvalid, hp)
+    else:
+        W, counts = pair_weight_matrix(
+            ps, pt, ns, nt, f, obs_prod, cvalid, hp)
 
     method = cfg.method
     if method == "horn87":

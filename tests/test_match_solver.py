@@ -193,3 +193,48 @@ class TestJitAndVmap:
         Ts = np.asarray(f(dds, tts))
         for i, (_, _, T_gt) in enumerate(scenes):
             assert rot_err(Ts[i], T_gt) < 1.0
+
+
+class TestPallasWBuild:
+    """The Pallas fused pair-weight kernel must match the XLA build
+    (solver.py::pair_weight_matrix) — run in interpreter mode off-TPU."""
+
+    def test_matches_xla_build(self, rng):
+        from relativepose_tpu.ops.pallas_kernels import pair_weight_matrix_vmem
+        C = 300  # not a multiple of the 256 tile: exercises padding
+        ps = jnp.asarray(rng.randn(C, 3).astype(np.float32))
+        pt = ps + 0.03 * jnp.asarray(rng.randn(C, 3).astype(np.float32))
+        ns = rng.randn(C, 3)
+        ns = jnp.asarray((ns / np.linalg.norm(ns, axis=1, keepdims=True))
+                         .astype(np.float32))
+        nt = jnp.asarray(rng.randn(C, 3).astype(np.float32))
+        f = jnp.asarray(rng.rand(C).astype(np.float32))
+        obs = jnp.where(jnp.asarray(rng.rand(C)) > 0.3, 1.0, 0.99
+                        ).astype(jnp.float32)
+        cvalid = jnp.asarray(rng.rand(C) > 0.1)
+        hp = solver.SolverHyperParams()
+        W0, c0 = solver.pair_weight_matrix(
+            ps, pt, ns, nt, f, obs * obs, cvalid, hp)
+        W1, c1 = pair_weight_matrix_vmem(
+            ps, pt, ns, nt, f, obs * obs, cvalid, hp, interpret=True)
+        np.testing.assert_allclose(np.asarray(W0), np.asarray(W1), atol=5e-5)
+        # boundary pairs may flip by the polynomial-acos 2e-8 rad error;
+        # the counts only gate >= 3 early-outs
+        for k in c0:
+            assert abs(int(c0[k]) - int(c1[k])) <= 2, k
+
+    def test_symmetry_and_zero_diagonal(self, rng):
+        from relativepose_tpu.ops.pallas_kernels import pair_weight_matrix_vmem
+        C = 64
+        ps = jnp.asarray(rng.randn(C, 3).astype(np.float32))
+        pt = ps + 0.02 * jnp.asarray(rng.randn(C, 3).astype(np.float32))
+        ns = jnp.asarray(rng.randn(C, 3).astype(np.float32))
+        nt = jnp.asarray(rng.randn(C, 3).astype(np.float32))
+        f = jnp.asarray(rng.rand(C).astype(np.float32))
+        one = jnp.ones(C)
+        W, _ = pair_weight_matrix_vmem(
+            ps, pt, ns, nt, f, one, one > 0, solver.SolverHyperParams(),
+            interpret=True)
+        W = np.asarray(W)
+        np.testing.assert_allclose(W, W.T, atol=0)
+        assert np.all(np.diag(W) == 0.0)
