@@ -71,8 +71,29 @@ class CheckpointManager:
                     else:
                         out[k] = v
                 return out
-            if new is not None and np.shape(new) == np.shape(tpl):
-                return new
-            return tpl
+            if isinstance(tpl, tuple) and hasattr(tpl, "_fields"):
+                # namedtuple (optax sub-states): orbax restores these as
+                # dicts keyed by field name
+                if isinstance(new, dict):
+                    return type(tpl)(*[
+                        merge(getattr(tpl, fld), new[fld])
+                        if fld in new else getattr(tpl, fld)
+                        for fld in tpl._fields])
+                if isinstance(new, (list, tuple)) and len(new) == len(tpl):
+                    return type(tpl)(*[merge(t, n)
+                                       for t, n in zip(tpl, new)])
+                return tpl
+            if isinstance(tpl, (list, tuple)):
+                # plain tuples restore as lists — recurse element-wise,
+                # keep the template's container type
+                if isinstance(new, (list, tuple)) and len(new) == len(tpl):
+                    merged = [merge(t, n) for t, n in zip(tpl, new)]
+                    return tuple(merged) if isinstance(tpl, tuple) else merged
+                return tpl
+            try:
+                same = new is not None and np.shape(new) == np.shape(tpl)
+            except ValueError:  # ragged container leaf — shapes undefined
+                same = False
+            return new if same else tpl
 
         return merge(template_state, loaded), True

@@ -222,6 +222,30 @@ class TestCheckpoint:
         np.testing.assert_allclose(merged["a"], np.ones(3))
         np.testing.assert_allclose(merged["c"], np.full(4, 7.0))
 
+
+    def test_restore_into_optax_state(self, tmp_path):
+        """Regression: real optimizer states hold (named)tuples of arrays
+        with inhomogeneous shapes — restore_into must recurse into them
+        instead of calling np.shape on the container (the completion
+        trainer's --resume crashed on this)."""
+        import collections
+        import jax.numpy as jnp
+        Adam = collections.namedtuple("Adam", ["count", "mu"])
+        cm = CheckpointManager(str(tmp_path))
+        state = {"params": {"w": np.ones((2, 3))},
+                 "opt": (Adam(np.zeros(()), {"w": np.ones((2, 3))}),
+                         (np.arange(4.0), np.ones((5, 1))))}
+        cm.save(0, state)
+        template = {"params": {"w": np.zeros((2, 3))},
+                    "opt": (Adam(np.full((), 9.0), {"w": np.zeros((2, 3))}),
+                            (np.zeros(4), np.zeros((5, 1))))}
+        merged, ok = cm.restore_into(template)
+        assert ok
+        np.testing.assert_allclose(merged["params"]["w"], 1.0)
+        assert type(merged["opt"][0]).__name__ == "Adam"
+        np.testing.assert_allclose(np.asarray(merged["opt"][0].count), 0.0)
+        np.testing.assert_allclose(merged["opt"][1][0], np.arange(4.0))
+
     def test_restore_into_without_checkpoint(self, tmp_path):
         cm = CheckpointManager(str(tmp_path))
         tpl = {"x": np.ones(2)}
