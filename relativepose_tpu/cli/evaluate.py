@@ -52,6 +52,9 @@ def _parse_args(argv=None):
     p.add_argument("--entrySplit", type=int, default=None)
     p.add_argument("--batch_pairs", type=int, default=4)
     p.add_argument("--comp_ckpt", type=str, default=None)
+    p.add_argument("--eval_seed", type=int, default=20_000,
+                   help="synthetic eval scene seed (train=0, val=10000 "
+                        "are reserved by the training CLIs)")
     p.add_argument("--n_detect", type=int, default=None,
                    help="detector keypoint capacity per view "
                         "(default: KeypointConfig.n_detect)")
@@ -149,8 +152,12 @@ def main(argv=None):
     eval_fn = jax.jit(harness.make_batched_eval_fn(factory, cfg, pipe_cfg))
 
     if "synthetic" in args.dataList:
+        # held-out seed: the synthetic train/val sets use seeds 0 /
+        # 10_000 (cli.train_feature.make_source) — evaluating on the
+        # training scenes would overstate a trained checkpoint
         source = dsets.SyntheticPairs(args.family,
-                                      n=min(args.maxIter, 1000))
+                                      n=min(args.maxIter, 1000),
+                                      seed=args.eval_seed)
     else:
         source = dsets.PanoPairDataset(
             args.family, "test", args.listPath,

@@ -120,9 +120,15 @@ def main(argv=None):
     state = feature.init_state(jax.random.PRNGKey(0), cfg)
     parameters_count(state["params"]["net_f"], "netF")
     ckpt = CheckpointManager(dirs.params_dir, keep=3)
+    start_epoch = 0
     if args.resume:
         state, ok = ckpt.restore_into(state)
-        logf(f"resume: {'ok' if ok else 'no checkpoint found'}")
+        if ok:
+            # resume the epoch counter (reference: utils/factory.py:19) —
+            # otherwise the keep-N cleanup discards every new checkpoint,
+            # whose restarted step numbers sort below the existing ones
+            start_epoch = ckpt.all_steps()[-1]
+        logf(f"resume: {'ok, from epoch %d' % start_epoch if ok else 'no checkpoint found'}")
 
     m = mesh.make_mesh(args.num_devices, args.model_parallel)
     state = mesh.shard_train_state(state, m, args.model_parallel > 1)
@@ -172,6 +178,7 @@ def main(argv=None):
         val_loader=batch_iterator(val_src, args, dataset, 1),
         max_epoch=args.max_epoch,
         train_duration=args.train_duration,
+        epoch=start_epoch,
         callbacks=[PeriodicCallback(CallbackLoc.epoch_end,
                                     args.save_every, save_cb),
                    OnceCallback(CallbackLoc.train_end, save_cb)],

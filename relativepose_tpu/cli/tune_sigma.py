@@ -39,6 +39,10 @@ def main(argv=None):
     p.add_argument("--outputType", type=str, default="rgbdnsf")
     p.add_argument("--featureDim", type=int, default=32)
     p.add_argument("--comp_ckpt", type=str, default=None)
+    p.add_argument("--ngf", type=int, default=64,
+                   help="SCNet width (must match the checkpoint)")
+    p.add_argument("--skipLayer", type=int, default=1)
+    p.add_argument("--batchnorm", type=int, default=1)
     p.add_argument("--cache", type=str, default=None,
                    help="primitive cache .npy (created if missing)")
     p.add_argument("--out", type=str, required=True,

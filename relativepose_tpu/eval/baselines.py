@@ -64,7 +64,9 @@ def run_classical_eval(args, cfg: harness.EvalConfig):
     from relativepose_tpu.data import datasets as dsets
 
     if "synthetic" in args.dataList:
-        source = dsets.SyntheticPairs(args.family, n=min(args.maxIter, 1000))
+        source = dsets.SyntheticPairs(
+            args.family, n=min(args.maxIter, 1000),
+            seed=getattr(args, "eval_seed", 20_000))
     else:
         source = dsets.PanoPairDataset(args.family, "test", args.listPath,
                                        entry_split=args.entrySplit)
