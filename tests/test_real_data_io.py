@@ -161,6 +161,39 @@ class TestCLIMains:
         comp = CheckpointManager(comp_params).restore()
         assert comp is not None
 
+    def test_feature_cli_resume_advances_epoch(self, layout,
+                                                tmp_path_factory):
+        """--resume must continue the epoch counter: a resumed run's new
+        checkpoint steps sort ABOVE the restored ones, so keep-N cleanup
+        retains them (regression: resumed checkpoints were silently
+        deleted when epoch numbering restarted at 0)."""
+        import numpy as np
+        root, list_path = layout
+        exp_root = str(tmp_path_factory.mktemp("resume_exps"))
+        cwd = os.getcwd()
+        os.chdir(exp_root)
+        try:
+            from relativepose_tpu.cli import train_feature
+            from relativepose_tpu.utils.checkpoint import CheckpointManager
+            base = [a for a in TINY if a != "--rm"]
+            train_feature.main(["--exp", "io_res", "--dataList", "suncgv3",
+                                "--listPath", list_path,
+                                "--featurelearning", "1", "--rm"] + base)
+            params = os.path.join(exp_root, "experiments", "exp_io_res",
+                                  "params")
+            first = CheckpointManager(params).all_steps()
+            assert first, "first run saved no checkpoint"
+            train_feature.main(["--exp", "io_res", "--dataList", "suncgv3",
+                                "--listPath", list_path,
+                                "--featurelearning", "1", "--resume"]
+                               + [a if a != "1" or base[base.index(a) - 1]
+                                  != "--max_epoch" else "2"
+                                  for a in base])
+            second = CheckpointManager(params).all_steps()
+            assert max(second) > max(first), (first, second)
+        finally:
+            os.chdir(cwd)
+
     def test_evaluate_cli_classical_gs(self, layout, tmp_path, monkeypatch):
         root, list_path = layout
         monkeypatch.chdir(tmp_path)
