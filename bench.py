@@ -140,15 +140,24 @@ def main():
         print(f"# rot err deg (untrained SCNet): median {np.median(errs):.1f}")
 
     ref_pps, ref_kind = reference_baseline()
+    # Dual baseline (VERDICT r2 #8): the headline vs_baseline uses the
+    # CONSERVATIVE estimate (0.5 pairs/s — a generous figure for the
+    # reference's per-pair host loop on a healthy GPU box); the 1-core
+    # measurement of the reference's own code on THIS VM (network charged
+    # at zero cost) is reported alongside, not as the headline.
     out = {
         "metric": "pano pairs/sec/chip, full 3-step complete<->match<->solve"
                   " pipeline",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/sec/chip",
-        "vs_baseline": round(pairs_per_sec / ref_pps, 2),
-        "baseline_pairs_per_sec": ref_pps,
-        "baseline_kind": ref_kind,
+        "vs_baseline": round(pairs_per_sec / _FALLBACK_PAIRS_PER_SEC, 2),
+        "baseline_pairs_per_sec": _FALLBACK_PAIRS_PER_SEC,
+        "baseline_kind": "conservative_est_gpu",
     }
+    if ref_kind == "measured_free_gpu":
+        out["vs_baseline_measured_1core_free_gpu"] = round(
+            pairs_per_sec / ref_pps, 2)
+        out["measured_baseline_pairs_per_sec"] = ref_pps
     if flops_per_call > 0:
         out["mfu"] = round(flops_per_call / args.batch_pairs
                            * pairs_per_sec / V5E_PEAK_FLOPS, 4)

@@ -166,7 +166,8 @@ def main(argv=None):
     # all repeats accumulate into one result file; resume skips completed
     # (repeat, pair) iterations (evaluation.py:129-133, 156-158)
     runner = harness.evaluate_stream(
-        lambda: dsets.batched(source, args.batch_pairs), eval_fn, cfg)
+        lambda: dsets.batched(source, args.batch_pairs,
+                              max_items=cfg.max_iter), eval_fn, cfg)
     runner.print_stats()
     print(json.dumps(runner.summary()))
     return runner

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from relativepose_tpu.cli.common import add_common_training_args, resolve_dataset
-from relativepose_tpu.cli.train_feature import batch_iterator, make_source
+from relativepose_tpu.cli.train_feature import make_loaders
 from relativepose_tpu.train import completion, mesh
 from relativepose_tpu.utils.callbacks import (
     CallbackLoc,
@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--save_every", type=int, default=5)
     p.add_argument("--feat_ckpt", type=str, default=None,
                    help="feature-net checkpoint dir (frozen netF)")
+    p.add_argument("--device_data", type=int, default=1,
+                   help="keep the synthetic set HBM-resident (0 = stream)")
+    p.add_argument("--log_every", type=int, default=10,
+                   help="host metric fetch cadence (each fetch syncs)")
     args = p.parse_args(argv)
     dataset, mask_method = resolve_dataset(args)
 
@@ -96,16 +100,18 @@ def main(argv=None):
             state, metrics = step_jit(state, batch, sub)
         else:
             metrics = eval_jit(state, batch, sub)
-        meter.update(float(metrics["loss"]))
         step_count["n"] += 1
-        if step_count["n"] % 10 == 0:
-            tb.scalars("loss", {f"{mode}_{k}": float(v)
+        # metric fetch = device sync; do it sparsely (see train_feature)
+        if step_count["n"] % args.log_every == 0 or mode != "train":
+            metrics = {k: float(v) for k, v in metrics.items()}
+            meter.update(metrics["loss"])
+            tb.scalars("loss", {f"{mode}_{k}": v
                                 for k, v in metrics.items()},
                        step_count["n"])
-        return metrics
+            return metrics
+        return {}
 
-    train_src = make_source(args, "train", dataset)
-    val_src = make_source(args, "test", dataset)
+    train_loader, val_loader = make_loaders(args, dataset)
 
     def save_cb(context):
         ckpt.save(context["epoch"], jax.device_get(state))
@@ -114,8 +120,8 @@ def main(argv=None):
 
     trainer = Trainer(
         step_fn=step_fn,
-        train_loader=batch_iterator(train_src, args, dataset, 0),
-        val_loader=batch_iterator(val_src, args, dataset, 1),
+        train_loader=train_loader,
+        val_loader=val_loader,
         max_epoch=args.max_epoch,
         train_duration=args.train_duration,
         epoch=start_epoch,

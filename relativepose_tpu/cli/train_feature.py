@@ -45,17 +45,21 @@ def batch_iterator(source, args, dataset: str, key_seed: int):
 
     Host->device transfers ride a ~25 MB/s tunnel on this environment, so
     pano batches are shipped in the reference's own on-disk precision —
-    rgb uint8 (png), normals int8 ((v/255)*2-1 pngs), depth f16 (mm-level,
-    vs the reference's uint16-mm pngs) — and decoded to f32 on device:
-    ~52 MB -> ~14 MB per batch-8 step (3.7x less tunnel time per step).
+    rgb uint8 (png), normals int8 ((v/255)*2-1 pngs), depth uint16
+    millimeters (exactly the reference's depth png contract, SUNCG.py:83)
+    — and decoded to f32 on device: ~52 MB -> ~14 MB per batch-8 step.
+
+    This is the streaming path for real on-disk datasets; synthetic
+    training uses the HBM-resident store (data/device_store.py) instead,
+    which eliminates per-step host traffic entirely.
     """
     rng = np.random.RandomState(key_seed)
 
     @functools.partial(jax.jit, static_argnames=())
-    def assemble(rgb_u8, norm_i8, depth_f16, poses, segm_u8, key):
+    def assemble(rgb_u8, norm_i8, depth_u16, poses, segm_u8, key):
         rgb = rgb_u8.astype(jnp.float32) / 255.0
         norm = norm_i8.astype(jnp.float32) / 127.0
-        depth = depth_f16.astype(jnp.float32)
+        depth = depth_u16.astype(jnp.float32) / 1000.0
         segm = segm_u8.astype(jnp.int32)
         return jax.vmap(
             lambda r, n, d, p, s, k: dpipe.assemble_pair_batch(
@@ -77,7 +81,9 @@ def batch_iterator(source, args, dataset: str, key_seed: int):
                     np.asarray(a) * 255.0 + 0.5, 0, 255).astype(np.uint8)
                 enc_norm = lambda a: np.clip(
                     np.round(np.asarray(a) * 127.0), -127, 127).astype(np.int8)
-                enc_depth = lambda a: np.asarray(a, np.float16)
+                enc_depth = lambda a: np.clip(
+                    np.round(np.asarray(a) * 1000.0), 0, 65535
+                ).astype(np.uint16)
                 enc_segm = lambda a: np.asarray(a, np.uint8)
                 keys = jax.random.split(
                     jax.random.PRNGKey(rng.randint(2**31)), len(buf))
@@ -97,6 +103,25 @@ def batch_iterator(source, args, dataset: str, key_seed: int):
     return _Loader()
 
 
+def make_loaders(args, dataset: str):
+    """(train_loader, val_loader): HBM-resident for synthetic sets (whole
+    set uploaded once, batches gathered + augmented on device each step),
+    streaming batch_iterator for real on-disk datasets or --device_data 0."""
+    train_src = make_source(args, "train", dataset)
+    val_src = make_source(args, "test", dataset)
+    if getattr(args, "device_data", 1) and "synthetic" in args.dataList:
+        from relativepose_tpu.data.device_store import (
+            DeviceStore,
+            ResidentLoader,
+        )
+        tr_store = DeviceStore(train_src, log=print)
+        va_store = DeviceStore(val_src, log=print)
+        return (ResidentLoader(tr_store, args.batch_size, dataset, seed=0),
+                ResidentLoader(va_store, args.batch_size, dataset, seed=1))
+    return (batch_iterator(train_src, args, dataset, 0),
+            batch_iterator(val_src, args, dataset, 1))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_training_args(p)
@@ -105,6 +130,10 @@ def main(argv=None):
                    help="synthetic train-set size (val = n/8)")
     p.add_argument("--train_duration", type=float, default=300.0)
     p.add_argument("--save_every", type=int, default=5)
+    p.add_argument("--device_data", type=int, default=1,
+                   help="keep the synthetic set HBM-resident (0 = stream)")
+    p.add_argument("--log_every", type=int, default=10,
+                   help="host metric fetch cadence (each fetch syncs)")
     args = p.parse_args(argv)
     dataset, mask_method = resolve_dataset(args)
 
@@ -150,17 +179,20 @@ def main(argv=None):
             state, metrics = step_jit(state, batch, sub)
         else:
             metrics = eval_jit(state["params"], batch, sub)
-        if "loss" in metrics:
-            meter.update(float(metrics["loss"]))
         step_count["n"] += 1
-        if step_count["n"] % 10 == 0:
-            tb.scalars("loss", {f"{mode}_{k}": float(v)
+        # Fetch metrics to host only every log_every steps: each float()
+        # is a device sync over the tunnel; in between, steps are enqueued
+        # asynchronously so the chip never waits on the host.
+        if step_count["n"] % args.log_every == 0 or mode != "train":
+            metrics = {k: float(v) for k, v in metrics.items()}
+            meter.update(metrics["loss"])
+            tb.scalars("loss", {f"{mode}_{k}": v
                                 for k, v in metrics.items()},
                        step_count["n"])
-        return metrics
+            return metrics
+        return {}
 
-    train_src = make_source(args, "train", dataset)
-    val_src = make_source(args, "test", dataset)
+    train_loader, val_loader = make_loaders(args, dataset)
 
     def save_cb(context):
         ckpt.save(context["epoch"], jax.device_get(state))
@@ -174,8 +206,8 @@ def main(argv=None):
 )
     trainer = Trainer(
         step_fn=step_fn,
-        train_loader=batch_iterator(train_src, args, dataset, 0),
-        val_loader=batch_iterator(val_src, args, dataset, 1),
+        train_loader=train_loader,
+        val_loader=val_loader,
         max_epoch=args.max_epoch,
         train_duration=args.train_duration,
         epoch=start_epoch,

@@ -173,9 +173,12 @@ class SyntheticPairs:
     def _disk_path(self, index: int) -> Optional[str]:
         if not self.cache_dir:
             return None
+        # 'v2' = the completion-learnable texture (synthetic.py docstring);
+        # v1 cache files are never reused.
         return os.path.join(
             self.cache_dir,
-            f"{self.dataset}_{self.seed + index}_{self.max_baseline:g}.npz")
+            f"{self.dataset}_{self.seed + index}_{self.max_baseline:g}"
+            "_v2.npz")
 
     def __getitem__(self, index: int) -> dict:
         if index in self._cache:
@@ -213,9 +216,18 @@ class SyntheticPairs:
 
 
 def batched(source, batch: int, fields=("rgb", "norm", "depth", "segm"),
-            extra_fields=("rgb_full", "depth_full")) -> Iterator:
-    """Stack items into (data_s, data_t, T_gt) batch pytrees for the
-    batched eval path."""
+            extra_fields=("rgb_full", "depth_full"),
+            max_items: Optional[int] = None) -> Iterator:
+    """Stack items into (data_s, data_t, T_gt, n_valid) batch pytrees for
+    the batched eval path.
+
+    The final partial batch is PADDED to the full batch size by repeating
+    the last item (so the jitted eval fn sees one shape) and `n_valid`
+    says how many leading rows are real — a 63-pair list at batch 8
+    evaluates all 63 (VERDICT r2: the tail used to be dropped).
+    `max_items` caps the number of source items consumed (the reference's
+    maxIter, evaluation.py:156-158).
+    """
     import jax.numpy as jnp
 
     def stack_views(items, which):
@@ -227,10 +239,16 @@ def batched(source, batch: int, fields=("rgb", "norm", "depth", "segm"),
                 np.stack([it[which][f] for it in items]))
         return out
 
+    n_src = len(source)
+    if max_items is not None:
+        n_src = min(n_src, max_items)
     buf = []
-    for i in range(len(source)):
+    for i in range(n_src):
         buf.append(source[i])
-        if len(buf) == batch:
+        if len(buf) == batch or i == n_src - 1:
+            n_valid = len(buf)
+            buf = buf + [buf[-1]] * (batch - n_valid)
             yield (stack_views(buf, "data_s"), stack_views(buf, "data_t"),
-                   jnp.asarray(np.stack([it["T_gt"] for it in buf])))
+                   jnp.asarray(np.stack([it["T_gt"] for it in buf])),
+                   n_valid)
             buf = []

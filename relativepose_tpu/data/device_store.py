@@ -1,0 +1,133 @@
+"""HBM-resident training set: upload once, sample batches on device.
+
+The reference overlaps host data prep with training via 8 DataLoader
+workers (opts.py:42-45).  This machine has ONE host core and a ~25 MB/s
+host<->TPU tunnel, so round 2's loader (compact-dtype batches shipped per
+step) left the chip idle ~90% of the time (docs/TRAINING.md).  The
+TPU-native fix: the whole pair set lives in HBM in the reference's own
+on-disk precision — rgb uint8 (png), normals int8, depth uint16
+millimeters (the reference's depth png contract, SUNCG.py:83), segm uint8
+— and every training step gathers + decodes + augments a batch entirely
+on device (`assemble_pair_batch`), so steps run at device speed with zero
+per-step host traffic.
+
+Sizes: one pano pair is ~1.8 MB compact, so 2048 pairs ~= 3.7 GB — a
+fraction of v5e HBM.  The one-time upload rides the tunnel once instead
+of once per epoch.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relativepose_tpu import config
+from relativepose_tpu.data import pipeline as dpipe
+
+H, W = config.PANO_HEIGHT, config.PANO_WIDTH
+
+
+def encode_item(item: dict) -> dict:
+    """One pair -> compact host arrays (reference on-disk precision)."""
+
+    def both(f, enc):
+        return np.stack([enc(np.asarray(item["data_s"][f])),
+                         enc(np.asarray(item["data_t"][f]))])
+
+    enc_rgb = lambda a: np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    enc_norm = lambda a: np.clip(np.round(a * 127.0), -127, 127).astype(
+        np.int8)
+    # uint16 millimeters: exact 1 mm everywhere (the reference's depth png;
+    # f16 would quantize to ~4 mm beyond 4 m — ADVICE r2)
+    enc_depth = lambda a: np.clip(np.round(a * 1000.0), 0, 65535).astype(
+        np.uint16)
+    enc_segm = lambda a: a.astype(np.uint8)
+    enc_pose = lambda a: a.astype(np.float32)
+    return dict(rgb=both("rgb", enc_rgb), norm=both("norm", enc_norm),
+                depth=both("depth", enc_depth), segm=both("segm", enc_segm),
+                pose=both("pose", enc_pose))
+
+
+class DeviceStore:
+    """The whole pair set as device-resident compact arrays.
+
+    source: any indexable of items with the PanoPairDataset contract
+    (data_s / data_t dicts of rgb/norm/depth/segm/pose).
+    """
+
+    def __init__(self, source, n: int | None = None, log=None,
+                 device=None):
+        n = len(source) if n is None else min(n, len(source))
+        t0 = time.time()
+        host = {k: [] for k in ("rgb", "norm", "depth", "segm", "pose")}
+        for i in range(n):
+            enc = encode_item(source[i])
+            for k, v in enc.items():
+                host[k].append(v)
+            if log and (i + 1) % 256 == 0:
+                log(f"device_store: encoded {i + 1}/{n} pairs "
+                    f"({time.time() - t0:.0f}s)")
+        stacked = {k: np.stack(v) for k, v in host.items()}
+        nbytes = sum(a.nbytes for a in stacked.values())
+        self.n = n
+        self.arrays = {
+            k: (jax.device_put(v, device) if device is not None
+                else jax.device_put(v))
+            for k, v in stacked.items()}
+        for v in self.arrays.values():
+            v.block_until_ready()
+        if log:
+            log(f"device_store: {n} pairs, {nbytes / 1e6:.0f} MB resident "
+                f"({time.time() - t0:.0f}s incl. upload)")
+
+
+@functools.partial(jax.jit, static_argnames=("dataset", "feature_learning"))
+def gather_batch(arrays: dict, idx, keys, dataset: str,
+                 feature_learning: bool = True):
+    """Device-side batch assembly: gather `idx` pairs from the resident
+    arrays, decode to f32, and run the full augmentation pipeline
+    (denseCorres + reproj) per pair.  idx: [B] int32; keys: [B] PRNG keys.
+    """
+    rgb = jnp.take(arrays["rgb"], idx, axis=0).astype(jnp.float32) / 255.0
+    norm = jnp.take(arrays["norm"], idx, axis=0).astype(jnp.float32) / 127.0
+    depth = jnp.take(arrays["depth"], idx, axis=0).astype(
+        jnp.float32) / 1000.0
+    segm = jnp.take(arrays["segm"], idx, axis=0).astype(jnp.int32)
+    pose = jnp.take(arrays["pose"], idx, axis=0)
+    return jax.vmap(
+        lambda r, n, d, p, s, k: dpipe.assemble_pair_batch(
+            r, n, d, p, s, k, dataset, feature_learning=feature_learning)
+    )(rgb, norm, depth, pose, segm, keys)
+
+
+class ResidentLoader:
+    """Iterable of device-assembled batches over a DeviceStore.
+
+    Each __iter__ pass is one shuffled epoch; every batch costs only a
+    dispatch (gather + augmentation run on device)."""
+
+    def __init__(self, store: DeviceStore, batch_size: int, dataset: str,
+                 seed: int = 0, feature_learning: bool = True):
+        self.store = store
+        self.batch_size = batch_size
+        self.dataset = config.canonical_dataset(dataset)
+        self.feature_learning = feature_learning
+        self._rng = np.random.RandomState(seed)
+
+    def __iter__(self):
+        order = self._rng.permutation(self.store.n)
+        nb = self.store.n // self.batch_size
+        base = jax.random.PRNGKey(self._rng.randint(2 ** 31))
+        for b in range(max(nb, 1)):
+            lo = (b * self.batch_size) % max(
+                self.store.n - self.batch_size + 1, 1)
+            idx = jnp.asarray(order[lo:lo + self.batch_size].astype(
+                np.int32))
+            keys = jax.random.split(jax.random.fold_in(base, b),
+                                    len(idx))
+            yield gather_batch(self.store.arrays, idx, keys, self.dataset,
+                               self.feature_learning)

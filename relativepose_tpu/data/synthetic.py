@@ -17,8 +17,18 @@ Conventions match the reference exactly:
   * normals are stored in the view's camera frame;
   * rgb is BGR in [0, 1] (cv2.imread convention, datasets/SUNCG.py:289).
 
-Texture is a hashed 3D voxel color field — piecewise-constant blocks give
-the DoG detector corners and make descriptors position-distinctive.
+Texture (v2) is designed so that scene *completion is learnable*, like the
+real datasets the reference trains on (SUNCG surfaces are flat-shaded with
+smooth lighting): each of the 6 room surfaces gets a scene-level base color
+modulated by a fixed per-surface shade (observing any surface reveals the
+scene color, so a completion net can predict the color of unobserved
+surfaces from geometry), plus a smooth low-frequency world-position field
+(spatially correlated, so extrapolation near the observed boundary is
+learnable) and a fine hashed voxel detail layer that gives the DoG
+detector corners and makes descriptors position-distinctive.  The v1
+texture was a pure hash field — spatially *uncorrelated*, which made
+completion of unobserved regions information-theoretically impossible and
+capped what a trained SCNet could ever contribute.
 """
 
 from __future__ import annotations
@@ -50,12 +60,47 @@ def _hash_color(ip, seed):
     return np.stack([b, g, r], axis=-1)  # BGR
 
 
-def _texture(p_world, room: Room):
-    ip = np.floor(p_world * room.tex_scale).astype(np.int64)
-    base = _hash_color(ip, room.seed)
-    fine = _hash_color(np.floor(p_world * room.tex_scale * 4).astype(np.int64),
-                       room.seed + 1)
-    return 0.7 * base + 0.3 * fine
+def _smooth_noise(p_world, seed, freq: float = 0.6):
+    """Trilinearly interpolated coarse hash field — smooth over ~1/freq m,
+    so nearby points are correlated (extrapolation is learnable)."""
+    q = p_world * freq
+    q0 = np.floor(q).astype(np.int64)
+    f = q - q0
+    f = f * f * (3.0 - 2.0 * f)  # smoothstep weights
+    out = np.zeros(p_world.shape[:-1] + (3,), np.float64)
+    for dx in (0, 1):
+        wx = f[..., 0] if dx else 1.0 - f[..., 0]
+        for dy in (0, 1):
+            wy = f[..., 1] if dy else 1.0 - f[..., 1]
+            for dz in (0, 1):
+                wz = f[..., 2] if dz else 1.0 - f[..., 2]
+                corner = q0 + np.array([dx, dy, dz])
+                out += (wx * wy * wz)[..., None] * _hash_color(corner, seed)
+    return out
+
+
+# Fixed per-surface brightness (surface id = axis*2 + (sign>0)): floor dark,
+# ceiling bright, walls in between — deterministic, so a net that knows the
+# geometry (normals/depth) and the scene color can predict every surface.
+_SURF_SHADE = np.array([0.95, 0.80, 0.55, 1.15, 0.70, 1.05])
+
+
+def _texture(p_world, room: Room, surface=None):
+    """v2 completion-learnable texture (see module docstring).
+
+    surface: integer array (axis*2 + (sign>0)) of the surface each point
+    lies on; None falls back to a neutral base (legacy callers)."""
+    rng = np.random.RandomState(room.seed * 977 + 11)
+    scene_rgb = rng.uniform(0.3, 0.75, 3)
+    if surface is None:
+        base = np.broadcast_to(scene_rgb, p_world.shape[:-1] + (3,))
+    else:
+        base = scene_rgb[None, :] * _SURF_SHADE[surface][..., None]
+    low = _smooth_noise(p_world, room.seed + 2)
+    fine = _hash_color(
+        np.floor(p_world * room.tex_scale * 4).astype(np.int64),
+        room.seed + 1)
+    return np.clip(base + 0.30 * (low - 0.5) + 0.25 * (fine - 0.5), 0.0, 1.0)
 
 
 _WALL_SEMANTICS = {0: 1, 1: 2, 2: 1}  # axis -> class (wall/floor-ceiling)
@@ -111,7 +156,7 @@ def render_pano(room: Room, R_wc, t_wc, dataset: str):
         n_world = np.zeros_like(p_world)
         n_world[np.arange(len(axis)), axis] = -sign  # inward normal
         n_view = n_world @ R_wc.T  # R_wc @ n
-        c = _texture(p_world, room)
+        c = _texture(p_world, room, 2 * axis + (sign > 0))
         block = slice(j * FACE, (j + 1) * FACE)
         rgb[:, block] = c.reshape(FACE, FACE, 3)
         depth[:, block] = t.reshape(FACE, FACE)  # ray param == face z
@@ -133,7 +178,8 @@ def render_kinect_frame(room: Room, R_wc, t_wc):
     d_world = dirs @ R_wc
     t, axis, sign = _ray_box(cam_center, d_world, room.half_extent)
     p_world = cam_center[None, :] + t[:, None] * d_world
-    rgb = _texture(p_world, room).reshape(h, w, 3).astype(np.float32)
+    rgb = _texture(p_world, room, 2 * axis + (sign > 0)).reshape(
+        h, w, 3).astype(np.float32)
     depth = t.reshape(h, w).astype(np.float32)
     return rgb, depth
 

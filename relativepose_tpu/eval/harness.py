@@ -174,15 +174,17 @@ class EvalRunner:
         self.ad_stats = {b: [] for b in OVERLAP_BUCKETS}
         self.t_stats = {b: [] for b in OVERLAP_BUCKETS}
         self.speed = []
+        self.compile_s = None  # first-batch wall time (XLA compile)
+        # blind (identity-pose) baselines, evaluation.py:294-297
+        self.blind_stats = {b: [] for b in OVERLAP_BUCKETS}
+        self.t_blind_stats = {b: [] for b in OVERLAP_BUCKETS}
         if cfg.resume and os.path.exists(self.result_path):
             self.error_stats = list(
                 np.load(self.result_path, allow_pickle=True))
             # replay prior results into the bucket statistics so the
             # summary covers the whole accumulated run
             for r in self.error_stats:
-                b = bucket_of(float(r["overlap"]))
-                self.ad_stats[b].append(float(r["err_ad"]))
-                self.t_stats[b].append(float(r["err_t"]))
+                self._accumulate(r)
 
     @property
     def n_done(self) -> int:
@@ -190,10 +192,17 @@ class EvalRunner:
         (reference resume-by-count, evaluation.py:129-133)."""
         return len(self.error_stats)
 
-    def record(self, result: dict):
+    def _accumulate(self, result: dict):
         b = bucket_of(float(result["overlap"]))
         self.ad_stats[b].append(float(result["err_ad"]))
         self.t_stats[b].append(float(result["err_t"]))
+        if "err_blind" in result:
+            self.blind_stats[b].append(float(result["err_blind"]))
+        if "err_t_blind" in result:
+            self.t_blind_stats[b].append(float(result["err_t_blind"]))
+
+    def record(self, result: dict):
+        self._accumulate(result)
         self.error_stats.append(result)
         if len(self.error_stats) % self.cfg.save_every == 0:
             self.save()
@@ -220,8 +229,15 @@ class EvalRunner:
                                if self.ad_stats[b] else None)
             out[f"trans_{b}"] = (float(np.mean(self.t_stats[b]))
                                  if self.t_stats[b] else None)
+            out[f"rot_blind_{b}"] = (float(np.mean(self.blind_stats[b]))
+                                     if self.blind_stats[b] else None)
+            out[f"trans_blind_{b}"] = (
+                float(np.mean(self.t_blind_stats[b]))
+                if self.t_blind_stats[b] else None)
         if self.speed:
             out["sec_per_pair"] = float(np.mean(self.speed))
+        if self.compile_s is not None:
+            out["compile_s"] = float(self.compile_s)
         return out
 
 
@@ -229,32 +245,54 @@ def evaluate_stream(pairs, eval_fn, cfg: EvalConfig, seed: int = 0):
     """Run the batched eval fn over `cfg.num_repeat` passes of pair batches.
 
     pairs: either a zero-arg callable returning a fresh iterable of
-    (data_s, data_t, T_gt) batches (required for num_repeat > 1), or a
-    plain iterable (single pass).  All repeats accumulate into ONE result
-    file (reference semantics: evaluation.py:156-158 repeats append to
-    the same error_stats / .result.npy).  On resume, the first
-    `runner.n_done` (repeat, pair) iterations are skipped; keys are
-    seeded deterministically per (repeat, batch) so a resumed run
-    evaluates the same stochastic keypoints it would have.
+    (data_s, data_t, T_gt[, n_valid]) batches (required for num_repeat >
+    1), or a plain iterable (single pass).  Each repeat pass evaluates at
+    most `cfg.max_iter` pairs (the reference's
+    `range(min(maxIter, len(dataset)))`, evaluation.py:156-158); a batch
+    may carry `n_valid` < batch size (padded tail) — only real rows are
+    recorded.  All repeats accumulate into ONE result file (reference
+    semantics: repeats append to the same error_stats / .result.npy).  On
+    resume, the first `runner.n_done` (repeat, pair) iterations are
+    skipped; keys are seeded deterministically per (repeat, batch) so a
+    resumed run evaluates the same stochastic keypoints it would have.
+
+    Timing: the first executed batch includes XLA compilation — its wall
+    time is reported separately as `runner.compile_s` and excluded from
+    the steady-state `sec_per_pair` stats (the reference has no compile
+    phase; publishing compile-polluted per-pair times understated the
+    pipeline 1000x in round 2).
     """
     runner = EvalRunner(cfg)
     skip = runner.n_done
     base = jax.random.PRNGKey(seed)
     n_repeat = cfg.num_repeat if callable(pairs) else 1
     g = 0
+    first_timed = True
     for rep in range(n_repeat):
         rep_key = jax.random.fold_in(base, rep)
         batches = pairs() if callable(pairs) else pairs
-        for bi, (data_s, data_t, T_gt) in enumerate(batches):
-            n = T_gt.shape[0]
+        done_this_rep = 0
+        for bi, batch in enumerate(batches):
+            if len(batch) == 4:
+                data_s, data_t, T_gt, n_valid = batch
+            else:
+                (data_s, data_t, T_gt), n_valid = batch, batch[2].shape[0]
+            n = int(min(n_valid, cfg.max_iter - done_this_rep))
+            if n <= 0:
+                break
+            done_this_rep += n
             if g + n <= skip:  # whole batch already done
                 g += n
                 continue
             batch_keys = jax.random.split(
-                jax.random.fold_in(rep_key, bi), n)
+                jax.random.fold_in(rep_key, bi), T_gt.shape[0])
             t0 = time.time()
             out = jax.device_get(eval_fn(data_s, data_t, T_gt, batch_keys))
             dt = (time.time() - t0) / n
+            is_compile = first_timed
+            first_timed = False
+            if is_compile:
+                runner.compile_s = time.time() - t0
             for i in range(n):
                 if g < skip:  # partially-done batch: record only the tail
                     g += 1
@@ -262,7 +300,8 @@ def evaluate_stream(pairs, eval_fn, cfg: EvalConfig, seed: int = 0):
                 res = {k: np.asarray(v[i]) for k, v in out.items()}
                 res["sec_per_pair"] = dt
                 res["repeat"] = rep
-                runner.speed.append(dt)
+                if not is_compile:
+                    runner.speed.append(dt)
                 runner.record(res)
                 g += 1
     runner.save()

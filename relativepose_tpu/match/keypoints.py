@@ -250,6 +250,11 @@ def build_keypoint_sets(rgb_s, rgb_t, feat_s, feat_t, key,
     Returns (pts_s, valid_s, w_s, pts_t, valid_t, w_t) with
     pts: [capacity, 2] float pano coords, w: 1.0 observed / 0.99 outside.
     """
+    # The fused augmentation below bounds ALL concatenated heatmaps with
+    # feat_t's extent, which is only correct while the two views share a
+    # shape — fail loudly if a dataset variant ever breaks that.
+    assert feat_s.shape[:2] == feat_t.shape[:2], (
+        feat_s.shape, feat_t.shape)
     keys = jax.random.split(key, 6)
 
     def detect_view(rgb, gray_full):

@@ -117,6 +117,45 @@ class TestEvalHarness:
         # second half; everything after runs: 2 + 2x3 = 5 batches
         assert len(calls) == 5
 
+    def test_evaluate_stream_max_iter_and_padded_tail(self, tmp_path):
+        """--maxIter 6 with batch 4 over a 10-pair source evaluates
+        EXACTLY 6 pairs per repeat (evaluation.py:156-158), and a padded
+        tail batch (n_valid < batch) records only its real rows."""
+        calls = []
+        cfg = harness.EvalConfig(exp="cap", out_dir=str(tmp_path),
+                                 max_iter=6, num_repeat=1, save_every=100)
+
+        def batches():
+            out = []
+            for s in range(0, 10, 4):
+                n = min(4, 10 - s)
+                T = jnp.tile(jnp.eye(4), (4, 1, 1))  # padded to batch 4
+                out.append(({"i": jnp.arange(4)}, {"i": jnp.arange(4)},
+                            T, n))
+            return out
+
+        runner = harness.evaluate_stream(
+            lambda: batches(), self._stub_eval(calls), cfg)
+        assert len(runner.error_stats) == 6
+        assert len(calls) == 2  # batch 3 never runs
+        # compile time reported separately; steady-state speed excludes it
+        assert runner.compile_s is not None
+        assert len(runner.speed) == 2  # only the second batch's rows
+
+        # padded tail: an est of 5 pairs at batch 4 -> 4 + 1 recorded
+        calls2 = []
+        cfg2 = harness.EvalConfig(exp="tail", out_dir=str(tmp_path),
+                                  max_iter=1000, save_every=100)
+
+        def batches2():
+            T = jnp.tile(jnp.eye(4), (4, 1, 1))
+            return [({"i": jnp.arange(4)}, {"i": jnp.arange(4)}, T, 4),
+                    ({"i": jnp.arange(4)}, {"i": jnp.arange(4)}, T, 1)]
+
+        r2 = harness.evaluate_stream(
+            lambda: batches2(), self._stub_eval(calls2), cfg2)
+        assert len(r2.error_stats) == 5
+
     def test_parse_eval_data_scannet_method_branch(self):
         """scannet + classical method consumes the ORIGINAL 480x640 frame
         (util.py:80-92, evaluation.py:165-166); 'ours' uses the kinect

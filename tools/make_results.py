@@ -86,19 +86,33 @@ def main():
         "",
         "| method | " + " | ".join(
             f"rot {b}" for b in BUCKETS) + " | " + " | ".join(
-            f"trans {b}" for b in BUCKETS) + " | sec/pair |",
-        "|" + "---|" * 8,
+            f"trans {b}" for b in BUCKETS)
+        + " | sec/pair | compile s |",
+        "|" + "---|" * 9,
     ]
     for r in rows:
         cells = [fmt(r.get(f"rot_{b}")) for b in BUCKETS]
         cells += [fmt(r.get(f"trans_{b}")) for b in BUCKETS]
-        cells += [fmt(r.get("sec_per_pair"))]
+        cells += [fmt(r.get("sec_per_pair")), fmt(r.get("compile_s"))]
         lines.append(f"| {r['tag']} | " + " | ".join(cells) + " |")
+    # blind (identity-prediction) baselines for context: every method row
+    # sees the same pairs, so one blind row suffices (evaluation.py:294-297)
+    blind = rows[0]
+    lines.append("| blind (identity pose) | " + " | ".join(
+        [fmt(blind.get(f"rot_blind_{b}")) for b in BUCKETS]
+        + [fmt(blind.get(f"trans_blind_{b}")) for b in BUCKETS]
+        + ["-", "-"]) + " |")
     lines += [
         "",
         "Notes:",
         "- 'GT oracle completion' substitutes ground-truth panos for the "
         "SCNet output — the upper bound of the matching/solver stack.",
+        "- 'blind' predicts the identity pose — any useful method must "
+        "beat it (the reference prints err_blind per pair, "
+        "evaluation.py:294-297).",
+        "- sec/pair is steady-state device time (the first, compiling "
+        "batch is excluded and reported in the 'compile s' column; the "
+        "reference has no compile phase).",
         "- The reference repo publishes no numeric results (SURVEY.md §6); "
         "its protocol is reproduced here on synthetic scenes because the "
         "real datasets are external downloads.",
