@@ -52,6 +52,10 @@ def _parse_args(argv=None):
     p.add_argument("--entrySplit", type=int, default=None)
     p.add_argument("--batch_pairs", type=int, default=4)
     p.add_argument("--comp_ckpt", type=str, default=None)
+    p.add_argument("--torch_comp_ckpt", type=str, default=None,
+                   help="reference SCNet state-dict (.pth.tar) — converted "
+                        "on load via utils.torch_import (evaluation.py:"
+                        "143-154's <ds>.comp.pth.tar)")
     p.add_argument("--eval_seed", type=int, default=20_000,
                    help="synthetic eval scene seed (train=0, val=10000 "
                         "are reserved by the training CLIs)")
@@ -94,14 +98,25 @@ def _parse_args(argv=None):
 
 def scnet_fn_factory_from_checkpoint(args, layout: ChannelLayout):
     """Completion net bound to checkpoint params; falls back to the GT
-    oracle when no checkpoint is given (synthetic runs)."""
-    if args.comp_ckpt:
+    oracle when no checkpoint is given (synthetic runs).  Accepts either
+    an orbax checkpoint dir (--comp_ckpt) or a reference torch state-dict
+    (--torch_comp_ckpt, converted in place)."""
+    if args.comp_ckpt or getattr(args, "torch_comp_ckpt", None):
         from relativepose_tpu.models import SCNet
-        from relativepose_tpu.utils.checkpoint import CheckpointManager
-        state = CheckpointManager(args.comp_ckpt).restore()
-        if state is None:
-            raise FileNotFoundError(args.comp_ckpt)
-        params = state["params"]
+        if getattr(args, "torch_comp_ckpt", None):
+            from relativepose_tpu.utils.torch_import import (
+                import_scnet,
+                load_torch_state_dict,
+            )
+            sd = load_torch_state_dict(args.torch_comp_ckpt)
+            params = import_scnet(sd, output_type=args.outputType,
+                                  batchnorm=bool(args.batchnorm))
+        else:
+            from relativepose_tpu.utils.checkpoint import CheckpointManager
+            state = CheckpointManager(args.comp_ckpt).restore()
+            if state is None:
+                raise FileNotFoundError(args.comp_ckpt)
+            params = state["params"]
         net = SCNet(output_type=args.outputType, snumclass=args.snumclass,
                     feature_dim=args.featureDim, ngf=args.ngf,
                     batchnorm=bool(args.batchnorm),

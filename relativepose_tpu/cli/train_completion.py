@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--save_every", type=int, default=5)
     p.add_argument("--feat_ckpt", type=str, default=None,
                    help="feature-net checkpoint dir (frozen netF)")
+    p.add_argument("--torch_feat_ckpt", type=str, default=None,
+                   help="reference netF state-dict (.pth.tar) — the "
+                        "reference's data/pretrained_model/<ds>.feat"
+                        ".pth.tar (mainPanoCompletion2view.py:127-150)")
     p.add_argument("--device_data", type=int, default=1,
                    help="keep the synthetic set HBM-resident (0 = stream)")
     p.add_argument("--log_every", type=int, default=10,
@@ -59,10 +63,19 @@ def main(argv=None):
         dynamic_weighting=bool(args.dynamicWeighting),
         pn_loss=bool(args.pnloss), margin=args.D,
         ngf=args.ngf, base_width=args.base_width,
+        feat_frozen_bn=bool(args.torch_feat_ckpt),
         dtype=jnp.bfloat16 if args.bf16 else None)
 
     net_f_params = None
-    if args.feat_ckpt:
+    if args.torch_feat_ckpt:
+        from relativepose_tpu.utils.torch_import import (
+            import_resnet18_8s,
+            load_torch_state_dict,
+        )
+        net_f_params = import_resnet18_8s(
+            load_torch_state_dict(args.torch_feat_ckpt))
+        logf("loaded frozen netF weights (torch state-dict)")
+    elif args.feat_ckpt:
         feat_state = CheckpointManager(args.feat_ckpt).restore()
         if feat_state is not None:
             net_f_params = feat_state["params"]["net_f"]

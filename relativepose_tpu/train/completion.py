@@ -48,6 +48,9 @@ class CompletionTrainConfig:
     b2: float = 0.999
     ngf: int = 64          # shrink for cheap tests
     base_width: int = 64
+    # True when netF comes from a torch checkpoint with running-stats BN
+    # (torch_import folds them into a frozen affine)
+    feat_frozen_bn: bool = False
     dtype: Any = None
 
     @property
@@ -63,7 +66,7 @@ def build_models(cfg: CompletionTrainConfig):
                   ngf=cfg.ngf, dtype=cfg.dtype)
     net_f = Resnet18_8s(num_input=7, feature_dim=cfg.feature_dim,
                         use_tanh=cfg.use_tanh, base_width=cfg.base_width,
-                        dtype=cfg.dtype)
+                        frozen_bn=cfg.feat_frozen_bn, dtype=cfg.dtype)
     return net_g, net_f
 
 

@@ -311,3 +311,27 @@ def test_scnet_name_map_covers_reference_modules():
     m2 = ti.scnet_name_map("rgbdnf")
     assert m2["deconv1f"] == ("Conv_3", "plain_conv")
     assert m2["deconv3f"] == ("DeconvBlock_12", "deconv_block")
+
+
+@pytest.mark.slow
+def test_evaluate_cli_loads_torch_checkpoint(tmp_path, monkeypatch):
+    """End-to-end: a reference-format .pth.tar (state_dict under
+    'state_dict', DataParallel 'module.' prefixes) drives the evaluate
+    CLI directly via --torch_comp_ckpt (evaluation.py:143-154)."""
+    monkeypatch.chdir(tmp_path)
+    ot, snc, fd, ngf = "rgbdnsf", 15, 32, 16
+    tm = _TorchSCNet(output_type=ot, snumclass=snc, feature_dim=fd, ngf=ngf)
+    _randomize(tm, 7)
+    ck = tmp_path / "suncg.comp.pth.tar"
+    torch.save({"epoch": 3, "state_dict": {
+        f"module.{k}": v for k, v in tm.state_dict().items()}}, str(ck))
+
+    from relativepose_tpu.cli import evaluate
+    runner = evaluate.main([
+        "--dataList", "synthetic", "--synthetic_family", "suncg",
+        "--method", "ours_nr", "--maxIter", "2", "--batch_pairs", "2",
+        "--torch_comp_ckpt", str(ck), "--ngf", str(ngf),
+        "--n_detect", "32", "--exp", "torch_ck", "--rm", "--bf16", "0"])
+    assert len(runner.error_stats) == 2
+    for r in runner.error_stats:
+        assert np.isfinite(float(r["err_ad"]))
