@@ -236,16 +236,40 @@ def _normalized(pts):
     return pts / jnp.asarray([W, H], dtype=pts.dtype)
 
 
+def detect_observed(rgb, cfg: KeypointConfig, gray_full=None):
+    """Step-invariant DoG detection on the observed region (rputil.py:152).
+
+    Factored out of `build_keypoint_sets` so the recurrent pipeline can
+    detect ONCE per view: the observed rgb (and the scannet full frame)
+    never changes across recurrence steps, only the descriptor maps do.
+    Returns (pts [n_detect, 2] pano coords, valid [n_detect])."""
+    if gray_full is not None:
+        # kinect: detect on the full frame, remap into the pano window
+        pts, valid = detect_dog(gray_full, cfg.n_detect, cfg.dog_threshold)
+        x = pts[:, 0] / config.KINECT_FULL_W * config.KINECT_FOV_W \
+            + config.KINECT_COL0
+        y = pts[:, 1] / config.KINECT_FULL_H * config.KINECT_FOV_H \
+            + config.KINECT_ROW0
+        return jnp.stack([x, y], -1), valid
+    gray = rgb_to_gray(rgb)
+    obs = gray[:, FACE : 2 * FACE]
+    pts, valid = detect_dog(obs, cfg.n_detect, cfg.dog_threshold)
+    return pts + jnp.asarray([FACE, 0.0]), valid
+
+
 def build_keypoint_sets(rgb_s, rgb_t, feat_s, feat_t, key,
                         cfg: KeypointConfig, mask_method: str = "second",
-                        gray_full_s=None, gray_full_t=None):
+                        gray_full_s=None, gray_full_t=None,
+                        det_s=None, det_t=None):
     """Per-view keypoint sets (getKeypoint / getKeypoint_kinect,
     rputil.py:141-353).
 
     rgb_s/rgb_t: [H, W, 3] masked color panos (0..255, BGR);
     feat_s/feat_t: [H, W, F] descriptor maps.  For scannet pass
     gray_full_s/t [480, 640] (detection runs on the full-size frame and is
-    remapped into the kinect window, rputil.py:257-279).
+    remapped into the kinect window, rputil.py:257-279).  det_s/det_t:
+    optional precomputed `detect_observed` results (pts, valid) — pass
+    them when calling per recurrence step to avoid re-detecting.
 
     Returns (pts_s, valid_s, w_s, pts_t, valid_t, w_t) with
     pts: [capacity, 2] float pano coords, w: 1.0 observed / 0.99 outside.
@@ -257,23 +281,12 @@ def build_keypoint_sets(rgb_s, rgb_t, feat_s, feat_t, key,
         feat_s.shape, feat_t.shape)
     keys = jax.random.split(key, 6)
 
-    def detect_view(rgb, gray_full):
-        if gray_full is not None:
-            # kinect: detect on the full frame, remap into the pano window
-            pts, valid = detect_dog(gray_full, cfg.n_detect,
-                                    cfg.dog_threshold)
-            x = pts[:, 0] / config.KINECT_FULL_W * config.KINECT_FOV_W \
-                + config.KINECT_COL0
-            y = pts[:, 1] / config.KINECT_FULL_H * config.KINECT_FOV_H \
-                + config.KINECT_ROW0
-            return jnp.stack([x, y], -1), valid
-        gray = rgb_to_gray(rgb)
-        obs = gray[:, FACE : 2 * FACE]
-        pts, valid = detect_dog(obs, cfg.n_detect, cfg.dog_threshold)
-        return pts + jnp.asarray([FACE, 0.0]), valid
-
-    det_s, det_s_valid = detect_view(rgb_s, gray_full_s)
-    det_t, det_t_valid = detect_view(rgb_t, gray_full_t)
+    if det_s is None:
+        det_s = detect_observed(rgb_s, cfg, gray_full_s)
+    if det_t is None:
+        det_t = detect_observed(rgb_t, cfg, gray_full_t)
+    det_s, det_s_valid = det_s
+    det_t, det_t_valid = det_t
 
     desc_s = interpolate_normalized(feat_s, _normalized(det_s))
     desc_t = interpolate_normalized(feat_t, _normalized(det_t))

@@ -21,16 +21,18 @@ H, W = config.PANO_HEIGHT, config.PANO_WIDTH
 def extract_primitives(rgb_s, rgb_t, depth_s, depth_t, normal_s, normal_t,
                        feat_s, feat_t, key, kp_cfg, dataset: str,
                        mask_method: str = "second", do_completion: bool = True,
-                       gray_full_s=None, gray_full_t=None):
+                       gray_full_s=None, gray_full_t=None,
+                       det_s=None, det_t=None):
     """Returns (data_s, data_t) solver-ready dicts (pc/normal/feat/weight/
     valid), each with kp_cfg.capacity rows.
 
     When `do_completion` is False, keypoints outside the observed region are
-    invalidated instead of dropped (rpmodule.py:534-537).
+    invalidated instead of dropped (rpmodule.py:534-537).  det_s/det_t:
+    precomputed step-invariant detections (keypoints.detect_observed).
     """
     pts_s, valid_s, w_s, pts_t, valid_t, w_t = kp.build_keypoint_sets(
         rgb_s, rgb_t, feat_s, feat_t, key, kp_cfg, mask_method,
-        gray_full_s, gray_full_t)
+        gray_full_s, gray_full_t, det_s=det_s, det_t=det_t)
 
     pc_s, nrm_s = skybox.lift_keypoints(depth_s, normal_s, pts_s, dataset)
     pc_t, nrm_t = skybox.lift_keypoints(depth_t, normal_t, pts_t, dataset)

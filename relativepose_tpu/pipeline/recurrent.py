@@ -112,6 +112,15 @@ def estimate_pose_via_completion(
     step_keys = jax.random.split(key, cfg.alter_steps)
     cached_primitives = []
 
+    # DoG detection is step-invariant: it sees only the masked observed
+    # rgb (composited rgb = mask * rgb, constant across the recurrence) or
+    # the scannet full frame.  Detect once, reuse in every step.
+    from relativepose_tpu.match import keypoints as kp_mod
+    det_s = kp_mod.detect_observed(
+        mask_s * data_s["rgb"] * 255.0, cfg.keypoints, gray_full_s)
+    det_t = kp_mod.detect_observed(
+        mask_t * data_t["rgb"] * 255.0, cfg.keypoints, gray_full_t)
+
     def sigma_at(val, i):
         val = jnp.asarray(val)
         return val[i] if val.ndim > 0 else val
@@ -144,7 +153,8 @@ def estimate_pose_via_completion(
             rgb_sc, rgb_tc, dep_sc, dep_tc, nrm_sc, nrm_tc, feat_s, feat_t,
             step_keys[step], cfg.keypoints, cfg.dataset, cfg.mask_method,
             do_completion=cfg.completion,
-            gray_full_s=gray_full_s, gray_full_t=gray_full_t)
+            gray_full_s=gray_full_s, gray_full_t=gray_full_t,
+            det_s=det_s, det_t=det_t)
 
         if return_primitives:
             cached_primitives.append((prim_s, prim_t))
