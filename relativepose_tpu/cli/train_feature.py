@@ -98,7 +98,33 @@ def batch_iterator(source, args, dataset: str, key_seed: int):
 
     class _Loader:
         def __iter__(self):
-            return gen()
+            # Host-side prefetch (the reference's DataLoader(num_workers=8),
+            # opts.py:42-45): a daemon thread runs the host decode/stack and
+            # the async device dispatch one batch ahead, so host prep
+            # overlaps device compute even on this 1-core box.
+            import queue
+            import threading
+
+            q = queue.Queue(maxsize=2)
+            _END = object()
+
+            def worker():
+                try:
+                    for b in gen():
+                        q.put(b)
+                except BaseException as e:  # surface in the consumer
+                    q.put(e)
+                finally:
+                    q.put(_END)
+
+            threading.Thread(target=worker, daemon=True).start()
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
 
     return _Loader()
 
