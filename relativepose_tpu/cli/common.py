@@ -29,6 +29,9 @@ def add_common_training_args(p: argparse.ArgumentParser):
     p.add_argument("--dynamicWeighting", type=int, default=0)
     p.add_argument("--pnloss", type=int, default=0)
     p.add_argument("--D", type=float, default=0.5)
+    p.add_argument("--hardNegatives", type=int, default=1,
+                   help="mine hardest contrastive negatives (0 = the "
+                        "reference's uniform-random negatives)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--rm", action="store_true")
     p.add_argument("--debug", action="store_true")

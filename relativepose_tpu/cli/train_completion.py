@@ -62,6 +62,7 @@ def main(argv=None):
         geometric_weight=bool(args.GeometricWeight),
         dynamic_weighting=bool(args.dynamicWeighting),
         pn_loss=bool(args.pnloss), margin=args.D,
+        hard_negatives=bool(args.hardNegatives),
         ngf=args.ngf, base_width=args.base_width,
         feat_frozen_bn=bool(args.torch_feat_ckpt),
         dtype=jnp.bfloat16 if args.bf16 else None)

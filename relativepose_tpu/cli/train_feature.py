@@ -168,6 +168,7 @@ def main(argv=None):
     cfg = feature.FeatureTrainConfig(
         snumclass=args.snumclass, feature_dim=args.featureDim,
         use_tanh=bool(args.useTanh), margin=args.D,
+        hard_negatives=bool(args.hardNegatives),
         featlearn_segm=bool(getattr(args, "featlearnSegm", 0)),
         base_width=args.base_width,
         dtype=jnp.bfloat16 if args.bf16 else None)

@@ -43,6 +43,7 @@ class CompletionTrainConfig:
     dynamic_weighting: bool = False  # opts.py --dynamicWeighting
     pn_loss: bool = False
     margin: float = 0.5
+    hard_negatives: bool = True   # see losses.contrastive_loss
     learning_rate: float = 2e-4
     b1: float = 0.5
     b2: float = 0.999
@@ -164,7 +165,8 @@ def loss_fn(params_g, net_f_params, batch, key, cfg: CompletionTrainConfig):
                            fake[3 * n:4 * n, ..., lo:hi],
                            fake[n:2 * n, ..., lo:hi])
         loss_fl, loss_pos, loss_neg = losses.contrastive_loss(
-            feat_s, feat_t, batch["denseCorres"], k2, cfg.margin)
+            feat_s, feat_t, batch["denseCorres"], k2, cfg.margin,
+            hard_negatives=cfg.hard_negatives)
         metrics.update(loss_fc=loss_fc, loss_fl=loss_fl,
                        loss_fl_pos=loss_pos, loss_fl_neg=loss_neg,
                        used_type1=f_s)

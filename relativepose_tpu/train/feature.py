@@ -30,6 +30,9 @@ class FeatureTrainConfig:
     feature_dim: int = 32
     use_tanh: bool = True
     margin: float = 0.5            # opts.py --D default
+    # mine the hardest negatives instead of uniform-random ones (see
+    # losses.contrastive_loss; False = exact reference loss)
+    hard_negatives: bool = True
     featlearn_segm: bool = False   # opts.py --featlearnSegm
     learning_rate: float = 2e-4
     b1: float = 0.5
@@ -73,7 +76,8 @@ def loss_fn(params, batch, key, cfg: FeatureTrainConfig):
         [pack("rgb"), pack("norm"), pack("depth")[..., None]], axis=-1)
     feat = net_f.apply({"params": params["net_f"]}, complete)
     loss_fl, loss_pos, loss_neg = losses.contrastive_loss(
-        feat[:n], feat[n:], batch["denseCorres"], key, cfg.margin)
+        feat[:n], feat[n:], batch["denseCorres"], key, cfg.margin,
+        hard_negatives=cfg.hard_negatives)
     metrics = {"loss_fl": loss_fl, "loss_fl_pos": loss_pos,
                "loss_fl_neg": loss_neg}
     total = loss_fl

