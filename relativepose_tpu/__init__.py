@@ -33,4 +33,22 @@ utils     logging, meters, callbacks, experiment dirs, profiling
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the full 3-step pipeline graph costs
+# minutes to compile over the axon tunnel; caching it on disk makes every
+# process after the first (eval rows, benches, tools) start in seconds.
+# Opt out with RPTPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("RPTPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "rptpu_xla"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these flags
+        pass
+
 from relativepose_tpu import config  # noqa: F401

@@ -97,10 +97,17 @@ def _parse_args(argv=None):
 
 
 def scnet_fn_factory_from_checkpoint(args, layout: ChannelLayout):
-    """Completion net bound to checkpoint params; falls back to the GT
-    oracle when no checkpoint is given (synthetic runs).  Accepts either
-    an orbax checkpoint dir (--comp_ckpt) or a reference torch state-dict
-    (--torch_comp_ckpt, converted in place)."""
+    """Completion net for the eval pipeline; falls back to the GT oracle
+    when no checkpoint is given (synthetic runs).  Accepts either an orbax
+    checkpoint dir (--comp_ckpt) or a reference torch state-dict
+    (--torch_comp_ckpt, converted in place).
+
+    Returns (factory, params): factory(data_s, data_t, params) -> scnet_fn.
+    Params are threaded through as a jit ARGUMENT rather than closed over —
+    closure params are baked into the HLO as 30M-element constants, which
+    made the trained-SCNet graph compile ~10x slower than the oracle graph
+    (507 s vs 47 s, RESULTS r2) and defeats the persistent compile cache
+    (every checkpoint would hash to a different module)."""
     if args.comp_ckpt or getattr(args, "torch_comp_ckpt", None):
         from relativepose_tpu.models import SCNet
         if getattr(args, "torch_comp_ckpt", None):
@@ -124,19 +131,19 @@ def scnet_fn_factory_from_checkpoint(args, layout: ChannelLayout):
                     use_tanh=bool(args.useTanh),
                     dtype=jnp.bfloat16 if args.bf16 else None)
 
-        def factory(data_s, data_t):
+        def factory(data_s, data_t, p):
             def fn(x):
-                return net.apply({"params": params}, x).astype(jnp.float32)
+                return net.apply({"params": p}, x).astype(jnp.float32)
             return fn
 
-        return factory
+        return factory, params
 
     from relativepose_tpu.pipeline.oracle import make_oracle_completion_fn
 
-    def factory(data_s, data_t):
+    def factory(data_s, data_t, p):
         return make_oracle_completion_fn(data_s, data_t, layout)
 
-    return factory
+    return factory, {}
 
 
 def main(argv=None):
@@ -163,8 +170,12 @@ def main(argv=None):
                                  ("dog_threshold", args.dog_threshold))
                if v is not None}))
     layout = pipe_cfg.layout
-    factory = scnet_fn_factory_from_checkpoint(args, layout)
-    eval_fn = jax.jit(harness.make_batched_eval_fn(factory, cfg, pipe_cfg))
+    factory, scnet_params = scnet_fn_factory_from_checkpoint(args, layout)
+    eval_fn_jit = jax.jit(harness.make_batched_eval_fn(factory, cfg,
+                                                       pipe_cfg))
+
+    def eval_fn(data_s, data_t, T_gt, keys):
+        return eval_fn_jit(data_s, data_t, T_gt, keys, scnet_params)
 
     if "synthetic" in args.dataList:
         # held-out seed: the synthetic train/val sets use seeds 0 /

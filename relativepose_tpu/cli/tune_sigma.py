@@ -71,7 +71,8 @@ def main(argv=None):
         args.snumclass = snumclass
         args.useTanh = 1
         args.bf16 = 1
-        factory = scnet_fn_factory_from_checkpoint(args, pipe_cfg.layout)
+        factory, scnet_params = scnet_fn_factory_from_checkpoint(
+            args, pipe_cfg.layout)
         if "synthetic" in args.dataList:
             source = dsets.SyntheticPairs(family, n=args.num_pairs)
         else:
@@ -87,7 +88,8 @@ def main(argv=None):
 
         by_level, rgt = st.cache_primitives(
             factory, pairs(), SolverHyperParams(), pipe_cfg,
-            key=jax.random.PRNGKey(args.seed), cache_path=args.cache)
+            key=jax.random.PRNGKey(args.seed), cache_path=args.cache,
+            scnet_params=scnet_params)
         print(f"cached primitives for {len(by_level[0])} pairs x "
               f"{len(by_level)} levels")
 

@@ -137,13 +137,19 @@ def pose_errors(T_hat, T_gt, pc_src, src_valid):
 
 def make_batched_eval_fn(scnet_fn_factory: Callable, cfg: EvalConfig,
                          pipe_cfg: PipelineConfig):
-    """Jitted per-pair eval: pipeline pose + overlap + errors, vmapped."""
+    """Jitted per-pair eval: pipeline pose + overlap + errors, vmapped.
+
+    scnet_fn_factory(data_s, data_t, params) -> completion fn; `params`
+    (the SCNet weights, or {} for the oracle) are an argument of the
+    returned fn — NOT closure constants — so the compiled module is
+    checkpoint-independent (see cli.evaluate.scnet_fn_factory_from_
+    checkpoint)."""
     hp = hyper_params_from_table(
         cfg.sigma_table if cfg.sigma_table is not None
         else default_sigma_table(cfg.dataset))
 
-    def one_pair(data_s, data_t, T_gt, key):
-        scnet_fn = scnet_fn_factory(data_s, data_t)
+    def one_pair(data_s, data_t, T_gt, key, params):
+        scnet_fn = scnet_fn_factory(data_s, data_t, params)
         T_hat = estimate_pose_via_completion(
             scnet_fn, data_s, data_t, key, hp, pipe_cfg)
         pc_s, val_s, _ = parse_eval_data(
@@ -158,7 +164,7 @@ def make_batched_eval_fn(scnet_fn_factory: Callable, cfg: EvalConfig,
                 "cam_dist": ov["cam_dist"], "pc_dist": ov["pc_dist"],
                 "pc_nn": ov["pc_nn"], **errs}
 
-    return jax.vmap(one_pair, in_axes=(0, 0, 0, 0))
+    return jax.vmap(one_pair, in_axes=(0, 0, 0, 0, None))
 
 
 class EvalRunner:

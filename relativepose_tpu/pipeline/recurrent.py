@@ -110,7 +110,6 @@ def estimate_pose_via_completion(
 
     T = jnp.eye(4) if T_init is None else T_init
     step_keys = jax.random.split(key, cfg.alter_steps)
-    cached_primitives = []
 
     # DoG detection is step-invariant: it sees only the masked observed
     # rgb (composited rgb = mask * rgb, constant across the recurrence) or
@@ -125,7 +124,15 @@ def estimate_pose_via_completion(
         val = jnp.asarray(val)
         return val[i] if val.ndim > 0 else val
 
-    for step in range(cfg.alter_steps):
+    def step_body(T, xs):
+        """One recurrence step (rpmodule.py:614-660).
+
+        Expressed as a `lax.scan` body rather than a Python unroll so XLA
+        compiles the step graph ONCE regardless of alter_steps — the
+        unrolled 3-step trained-SCNet graph took ~507 s to compile vs
+        ~47 s for the 1-step graph (compile grows superlinearly in graph
+        size); scan brings the 3-step compile down to 1-step cost."""
+        step, step_key = xs
         view_t2s = warp.warp_view(view_t, rotation.inverse_se3(T),
                                   cfg.dataset)
         view_s2t = warp.warp_view(view_s, T, cfg.dataset)
@@ -151,13 +158,10 @@ def estimate_pose_via_completion(
 
         prim_s, prim_t = primitives.extract_primitives(
             rgb_sc, rgb_tc, dep_sc, dep_tc, nrm_sc, nrm_tc, feat_s, feat_t,
-            step_keys[step], cfg.keypoints, cfg.dataset, cfg.mask_method,
+            step_key, cfg.keypoints, cfg.dataset, cfg.mask_method,
             do_completion=cfg.completion,
             gray_full_s=gray_full_s, gray_full_t=gray_full_t,
             det_s=det_s, det_t=det_t)
-
-        if return_primitives:
-            cached_primitives.append((prim_s, prim_t))
 
         hp_step = SolverHyperParams(
             sigma_angle1=sigma_at(hp_table.sigma_angle1, step),
@@ -170,8 +174,18 @@ def estimate_pose_via_completion(
             mu=hp_table.mu,
         )
         T = estimate_relative_pose(prim_s, prim_t, hp_step, cfg.solver)
+        return T, (prim_s, prim_t)
+
+    T, stacked_prims = jax.lax.scan(
+        step_body, T,
+        (jnp.arange(cfg.alter_steps), step_keys))
 
     if return_primitives:
+        # unstack [steps, ...] pytrees into the per-level list the sigma
+        # tuner's cache consumes (tune/sigma.py::cache_primitives)
+        cached_primitives = [
+            jax.tree.map(lambda x, s=s: x[s], stacked_prims)
+            for s in range(cfg.alter_steps)]
         return T, cached_primitives
     return T
 

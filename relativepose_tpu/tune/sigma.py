@@ -105,7 +105,7 @@ def fd_optimize(objective: Callable, sigma0, fd: FDConfig = FDConfig(),
 
 
 def cache_primitives(scnet_fn_factory, pairs, hp_table, pipe_cfg, key=None,
-                     cache_path: Optional[str] = None):
+                     cache_path: Optional[str] = None, scnet_params=None):
     """Run the recurrent pipeline once per pair and record the solver-ready
     primitive sets at every recurrence level.
 
@@ -113,8 +113,10 @@ def cache_primitives(scnet_fn_factory, pairs, hp_table, pipe_cfg, key=None,
     completion loop per pair and caches primitives to
     data/relativePoseModule/final_<ds>_rlevel_<r>.npy).
 
-    scnet_fn_factory: (data_s, data_t) -> completion fn (called inside the
-    jit so oracle closures over pair data trace correctly).
+    scnet_fn_factory: (data_s, data_t, params) -> completion fn (called
+    inside the jit so oracle closures over pair data trace correctly;
+    `scnet_params` rides as a jit argument so SCNet weights aren't baked
+    into the HLO as constants).
     pairs: iterable of (data_s, data_t, T_gt) jax pytrees (single pair,
     no batch dim).  Returns (primitives_by_level: [levels][pairs]
     (prim_s, prim_t), R_gt [P, 3, 3]); optionally saves to cache_path.
@@ -128,14 +130,14 @@ def cache_primitives(scnet_fn_factory, pairs, hp_table, pipe_cfg, key=None,
     rgts = []
 
     @_jax.jit
-    def run(ds, dt, k):
+    def run(ds, dt, k, params):
         return estimate_pose_via_completion(
-            scnet_fn_factory(ds, dt), ds, dt, k, hp_table, pipe_cfg,
+            scnet_fn_factory(ds, dt, params), ds, dt, k, hp_table, pipe_cfg,
             return_primitives=True)
 
     for data_s, data_t, T_gt in pairs:
         key, sub = _jax.random.split(key)
-        _, prims = run(data_s, data_t, sub)
+        _, prims = run(data_s, data_t, sub, scnet_params)
         for lvl, (ps, pt) in enumerate(prims):
             by_level[lvl].append((_jax.device_get(ps), _jax.device_get(pt)))
         rgts.append(np.asarray(T_gt)[:3, :3])

@@ -217,7 +217,7 @@ class TestPrimitiveCaching:
             pairs.append((to_jax(ds), to_jax(dt),
                           jnp.asarray(T.astype(np.float32))))
 
-        factory = lambda ds, dt: make_oracle_completion_fn(ds, dt, lay)
+        factory = lambda ds, dt, p: make_oracle_completion_fn(ds, dt, lay)
         by_level, rgt = st.cache_primitives(
             factory, pairs, SolverHyperParams(), cfg)
         assert len(by_level) == 2 and len(by_level[0]) == 2
