@@ -48,6 +48,10 @@ def main():
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--classical", action="store_true",
                    help="also run the gs (FPFH+RANSAC) baseline (slow, host)")
+    p.add_argument("--tuned_para", type=str, default=None,
+                   help="sigma table txt produced by cli.tune_sigma on the "
+                        "trained primitives; adds an 'ours (tuned sigma)' "
+                        "row (trainRelativePoseModuleRecFD.py:296-298)")
     p.add_argument("--out", type=str, default="RESULTS.md")
     args = p.parse_args()
 
@@ -63,6 +67,11 @@ def main():
                     base + ck + ["--method", "ours_nr", "--exp", "res_nr"]))
     rows.append(run("ours_nc (no completion)",
                     base + ck + ["--method", "ours_nc", "--exp", "res_nc"]))
+    if args.tuned_para:
+        rows.append(run("ours (trained, tuned sigma)",
+                        base + ck + ["--method", "ours", "--exp",
+                                     "res_ours_tuned", "--para",
+                                     args.tuned_para]))
     rows.append(run("ours (GT oracle completion)",
                     base + ["--method", "ours", "--exp", "res_oracle"]))
     if args.classical:
