@@ -124,6 +124,10 @@ def scnet_fn_factory_from_checkpoint(args, layout: ChannelLayout):
             if state is None:
                 raise FileNotFoundError(args.comp_ckpt)
             params = state["params"]
+        # orbax/torch restore yields HOST numpy arrays; as jit arguments
+        # they would be re-uploaded over the tunnel EVERY call (measured
+        # 4.1 s vs 34 ms per SCNet forward).  Pin them in HBM once.
+        params = jax.device_put(params)
         net = SCNet(output_type=args.outputType, snumclass=args.snumclass,
                     feature_dim=args.featureDim, ngf=args.ngf,
                     batchnorm=bool(args.batchnorm),
@@ -173,9 +177,12 @@ def main(argv=None):
     factory, scnet_params = scnet_fn_factory_from_checkpoint(args, layout)
     eval_fn_jit = jax.jit(harness.make_batched_eval_fn(factory, cfg,
                                                        pipe_cfg))
+    hp = harness.hyper_params_from_table(
+        cfg.sigma_table if cfg.sigma_table is not None
+        else harness.default_sigma_table(cfg.dataset))
 
     def eval_fn(data_s, data_t, T_gt, keys):
-        return eval_fn_jit(data_s, data_t, T_gt, keys, scnet_params)
+        return eval_fn_jit(data_s, data_t, T_gt, keys, scnet_params, hp)
 
     if "synthetic" in args.dataList:
         # held-out seed: the synthetic train/val sets use seeds 0 /

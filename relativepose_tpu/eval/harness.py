@@ -143,12 +143,10 @@ def make_batched_eval_fn(scnet_fn_factory: Callable, cfg: EvalConfig,
     (the SCNet weights, or {} for the oracle) are an argument of the
     returned fn — NOT closure constants — so the compiled module is
     checkpoint-independent (see cli.evaluate.scnet_fn_factory_from_
-    checkpoint)."""
-    hp = hyper_params_from_table(
-        cfg.sigma_table if cfg.sigma_table is not None
-        else default_sigma_table(cfg.dataset))
+    checkpoint).  The sigma table rides as an argument for the same
+    reason: a --para/tuned run must not recompile the whole pipeline."""
 
-    def one_pair(data_s, data_t, T_gt, key, params):
+    def one_pair(data_s, data_t, T_gt, key, params, hp):
         scnet_fn = scnet_fn_factory(data_s, data_t, params)
         T_hat = estimate_pose_via_completion(
             scnet_fn, data_s, data_t, key, hp, pipe_cfg)
@@ -164,7 +162,7 @@ def make_batched_eval_fn(scnet_fn_factory: Callable, cfg: EvalConfig,
                 "cam_dist": ov["cam_dist"], "pc_dist": ov["pc_dist"],
                 "pc_nn": ov["pc_nn"], **errs}
 
-    return jax.vmap(one_pair, in_axes=(0, 0, 0, 0, None))
+    return jax.vmap(one_pair, in_axes=(0, 0, 0, 0, None, None))
 
 
 class EvalRunner:

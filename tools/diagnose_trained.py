@@ -69,11 +69,11 @@ def main():
     feat_params = None
     if args.feat_ckpt:
         st = CheckpointManager(args.feat_ckpt).restore()
-        feat_params = st["params"]["net_f"]
+        feat_params = jax.device_put(st["params"]["net_f"])
     net_g = g_params = None
     if args.comp_ckpt:
         st = CheckpointManager(args.comp_ckpt).restore()
-        g_params = st["params"]
+        g_params = jax.device_put(st["params"])
         net_g = SCNet(output_type=cfg.output_type, snumclass=cfg.snumclass,
                       feature_dim=cfg.feature_dim, ngf=cfg.ngf,
                       dtype=dtype)
