@@ -125,6 +125,13 @@ def main():
         "- The reference repo publishes no numeric results (SURVEY.md §6); "
         "its protocol is reproduced here on synthetic scenes because the "
         "real datasets are external downloads.",
+        "- 'tuned sigma' uses the cli.tune_sigma FD-fitted per-level table "
+        "(data/params/tuned_sigma_suncg_rlevel_3.txt) produced on 48 "
+        "trained-primitive sets from TRAIN scenes; on held-out scenes it "
+        "does not improve over the defaults (the FD objective landscape "
+        "is nearly flat — see docs/TRAINING.md held-out diagnostics for "
+        "why hallucinated-descriptor quality, not sigma, is the binding "
+        "constraint).",
         "",
         "Raw summaries:",
         "```json",
