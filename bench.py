@@ -106,10 +106,20 @@ def main():
 
     fn, fargs, T_gts = build_bench(args.batch_pairs, args.alter_steps)
 
-    # XLA's flop count for the whole compiled pipeline (per call)
+    # XLA's flop count for the whole compiled pipeline (per call).  The
+    # recurrence is a lax.scan, and HLO cost analysis counts the while-loop
+    # BODY ONCE regardless of trip count — so multiply by alter_steps.
+    # (Round 3 reported mfu=0.0195 = round 2's unrolled-graph 0.0586 / 3 at
+    # identical throughput — a pure accounting artifact of the scan move.)
+    # This overcounts the step-invariant pre-scan work (DoG detection /
+    # view assembly) by (alter_steps-1)x, but that prefix is convolution-
+    # light (<2% of one step's flops, dominated by the SCNet forward);
+    # verified against a Python-unrolled lowering in
+    # tests/test_pipeline_e2e.py::test_scan_flops_accounting.
     try:
         cost = fn.lower(*fargs).compile().cost_analysis()
-        flops_per_call = float(cost.get("flops", 0.0)) if cost else 0.0
+        body_once = float(cost.get("flops", 0.0)) if cost else 0.0
+        flops_per_call = body_once * args.alter_steps
     except Exception:
         flops_per_call = 0.0
 

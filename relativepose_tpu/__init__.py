@@ -33,22 +33,32 @@ utils     logging, meters, callbacks, experiment dirs, profiling
 
 __version__ = "0.1.0"
 
-import os as _os
 
-import jax as _jax
+def enable_compile_cache() -> None:
+    """Turn on the persistent XLA compilation cache for this process.
 
-# Persistent XLA compilation cache: the full 3-step pipeline graph costs
-# minutes to compile over the axon tunnel; caching it on disk makes every
-# process after the first (eval rows, benches, tools) start in seconds.
-# Opt out with RPTPU_NO_COMPILE_CACHE=1.
-if not _os.environ.get("RPTPU_NO_COMPILE_CACHE"):
-    _cache_dir = _os.environ.get(
+    The full 3-step pipeline graph costs minutes to compile over the axon
+    tunnel; caching it on disk makes every process after the first (eval
+    rows, benches, tools) start in seconds.  Called by the CLI entry
+    points, bench.py, and the tools — NOT at package import, so library
+    and test consumers keep their own cache policy (a bare
+    `import relativepose_tpu` has no global side effects).  Opt out with
+    RPTPU_NO_COMPILE_CACHE=1.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("RPTPU_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "rptpu_xla"))
+        os.path.join(os.path.expanduser("~"), ".cache", "rptpu_xla"))
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # older jax without these flags
         pass
 
-from relativepose_tpu import config  # noqa: F401
+
+from relativepose_tpu import config  # noqa: E402,F401

@@ -32,6 +32,24 @@ def add_common_training_args(p: argparse.ArgumentParser):
     p.add_argument("--hardNegatives", type=int, default=1,
                    help="mine hardest contrastive negatives (0 = the "
                         "reference's uniform-random negatives)")
+    p.add_argument("--view_detail_jitter", type=int, default=0,
+                   help="synthetic-data augmentation: render each view of "
+                        "a pair with a different fine-texture seed so "
+                        "descriptors learn cross-view-stable cues "
+                        "(data/synthetic.py::_texture)")
+    p.add_argument("--fcWeightMode", type=str, default="geow",
+                   choices=["geow", "uniform"],
+                   help="feature-consistency loss weight: 'geow' = the "
+                        "reference's boundary-decaying weight (mainPano"
+                        "Completion2view.py:544); 'uniform' = dataMask "
+                        "everywhere (supervises hallucinated descriptors "
+                        "far from the observed boundary equally)")
+    p.add_argument("--fcScale", type=float, default=1.0,
+                   help="feature-consistency loss multiplier")
+    p.add_argument("--wDepth", type=float, default=1.0,
+                   help="depth-reconstruction L1 multiplier (completed "
+                        "depth feeds the solver's 0.08 m pairwise-distance "
+                        "filters, rpmodule.py:399-404)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--rm", action="store_true")
     p.add_argument("--debug", action="store_true")

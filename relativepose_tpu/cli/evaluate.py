@@ -151,6 +151,8 @@ def scnet_fn_factory_from_checkpoint(args, layout: ChannelLayout):
 
 
 def main(argv=None):
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     args = _parse_args(argv)
     sigma_table = np.loadtxt(args.para).reshape(-1, 4) if args.para else \
         np.tile([args.sigmaAngle1, args.sigmaAngle2, args.sigmaDist,
@@ -179,7 +181,8 @@ def main(argv=None):
                                                        pipe_cfg))
     hp = harness.hyper_params_from_table(
         cfg.sigma_table if cfg.sigma_table is not None
-        else harness.default_sigma_table(cfg.dataset))
+        else harness.default_sigma_table(cfg.dataset),
+        alter_steps=cfg.alter_steps)
 
     def eval_fn(data_s, data_t, T_gt, keys):
         return eval_fn_jit(data_s, data_t, T_gt, keys, scnet_params, hp)

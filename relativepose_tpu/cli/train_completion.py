@@ -31,6 +31,8 @@ from relativepose_tpu.utils.trainer import Trainer
 
 
 def main(argv=None):
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     add_common_training_args(p)
     p.add_argument("--synthetic_family", type=str, default="suncg")
@@ -63,6 +65,8 @@ def main(argv=None):
         dynamic_weighting=bool(args.dynamicWeighting),
         pn_loss=bool(args.pnloss), margin=args.D,
         hard_negatives=bool(args.hardNegatives),
+        fc_weight_mode=args.fcWeightMode, fc_scale=args.fcScale,
+        w_depth=args.wDepth,
         ngf=args.ngf, base_width=args.base_width,
         feat_frozen_bn=bool(args.torch_feat_ckpt),
         dtype=jnp.bfloat16 if args.bf16 else None)

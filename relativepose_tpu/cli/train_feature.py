@@ -35,8 +35,9 @@ def make_source(args, split: str, dataset: str):
             n = getattr(args, "synthetic_n", None) or 2048
             if split != "train":
                 n = max(64, n // 8)
-        return dsets.SyntheticPairs(dataset, n=n,
-                                    seed=0 if split == "train" else 10_000)
+        return dsets.SyntheticPairs(
+            dataset, n=n, seed=0 if split == "train" else 10_000,
+            view_detail_jitter=bool(getattr(args, "view_detail_jitter", 0)))
     return dsets.PanoPairDataset(dataset, split, args.listPath)
 
 
@@ -149,6 +150,8 @@ def make_loaders(args, dataset: str):
 
 
 def main(argv=None):
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     add_common_training_args(p)
     p.add_argument("--synthetic_family", type=str, default="suncg")

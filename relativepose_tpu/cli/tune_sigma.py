@@ -29,6 +29,8 @@ from relativepose_tpu.tune import sigma as st
 
 
 def main(argv=None):
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataList", type=str, default="synthetic")
     p.add_argument("--listPath", type=str, default=None)

@@ -150,15 +150,19 @@ class SyntheticPairs:
 
     def __init__(self, dataset: str = "suncg", n: int = 100, seed: int = 0,
                  max_baseline: float = 0.8, cache_size: Optional[int] = None,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 view_detail_jitter: bool = False):
         """cache_size None = cache every item in RAM (a 160x640 pair is
         ~3 MB; even 2048 pairs fit easily).  cache_dir, if set, persists
         rendered pairs as .npz so separate runs (feature training,
-        completion training, eval) share one generated set."""
+        completion training, eval) share one generated set.
+        view_detail_jitter decorrelates the fine texture layer across the
+        two views (training augmentation; see synthetic._texture)."""
         self.dataset = dataset
         self.n = n
         self.seed = seed
         self.max_baseline = max_baseline
+        self.view_detail_jitter = view_detail_jitter
         self._cache = {}
         self._cache_size = n if cache_size is None else cache_size
         if cache_dir is None:
@@ -175,10 +179,11 @@ class SyntheticPairs:
             return None
         # 'v2' = the completion-learnable texture (synthetic.py docstring);
         # v1 cache files are never reused.
+        tag = "_vj" if self.view_detail_jitter else ""
         return os.path.join(
             self.cache_dir,
             f"{self.dataset}_{self.seed + index}_{self.max_baseline:g}"
-            "_v2.npz")
+            f"_v2{tag}.npz")
 
     def __getitem__(self, index: int) -> dict:
         if index in self._cache:
@@ -199,7 +204,8 @@ class SyntheticPairs:
             from relativepose_tpu.data import synthetic
             ds, dt, T_gt = synthetic.make_pair(
                 self.seed + index, self.dataset,
-                max_baseline=self.max_baseline)
+                max_baseline=self.max_baseline,
+                view_detail_jitter=self.view_detail_jitter)
             item = dict(data_s=ds, data_t=dt, T_gt=T_gt.astype(np.float32),
                         Q=None, imgs_path=(f"synthetic/{index}/src",
                                            f"synthetic/{index}/tgt"))

@@ -85,11 +85,21 @@ def _smooth_noise(p_world, seed, freq: float = 0.6):
 _SURF_SHADE = np.array([0.95, 0.80, 0.55, 1.15, 0.70, 1.05])
 
 
-def _texture(p_world, room: Room, surface=None):
+def _texture(p_world, room: Room, surface=None, detail_seed=None):
     """v2 completion-learnable texture (see module docstring).
 
     surface: integer array (axis*2 + (sign>0)) of the surface each point
-    lies on; None falls back to a neutral base (legacy callers)."""
+    lies on; None falls back to a neutral base (legacy callers).
+    detail_seed: seed of the FINE hash-detail layer only; default is the
+    scene seed (consistent across views).  Rendering each view of a pair
+    with a different detail_seed decorrelates the fine texture across
+    views — a training augmentation (like sensor noise / lighting change
+    in real scans) that forces contrastively-trained descriptors onto
+    cross-view-stable cues (geometry, surface shade, low-freq field),
+    which are exactly the cues a completion net can hallucinate.  Round-3
+    diagnosis (docs/TRAINING.md): descriptors keyed on the fine layer are
+    unpredictable far from the observed boundary, capping completed-
+    feature ranking at 0.036 vs the ~0.022 usability threshold."""
     rng = np.random.RandomState(room.seed * 977 + 11)
     scene_rgb = rng.uniform(0.3, 0.75, 3)
     if surface is None:
@@ -99,7 +109,7 @@ def _texture(p_world, room: Room, surface=None):
     low = _smooth_noise(p_world, room.seed + 2)
     fine = _hash_color(
         np.floor(p_world * room.tex_scale * 4).astype(np.int64),
-        room.seed + 1)
+        room.seed + 1 if detail_seed is None else detail_seed)
     return np.clip(base + 0.30 * (low - 0.5) + 0.25 * (fine - 0.5), 0.0, 1.0)
 
 
@@ -121,7 +131,7 @@ def _ray_box(o, d, half):
     return t, axis, sign
 
 
-def render_pano(room: Room, R_wc, t_wc, dataset: str):
+def render_pano(room: Room, R_wc, t_wc, dataset: str, detail_seed=None):
     """Render a skybox pano from the world->camera pose (R_wc, t_wc).
 
     Returns dict(rgb [H, W, 3] BGR 0..1, depth [H, W], norm [H, W, 3]
@@ -156,7 +166,7 @@ def render_pano(room: Room, R_wc, t_wc, dataset: str):
         n_world = np.zeros_like(p_world)
         n_world[np.arange(len(axis)), axis] = -sign  # inward normal
         n_view = n_world @ R_wc.T  # R_wc @ n
-        c = _texture(p_world, room, 2 * axis + (sign > 0))
+        c = _texture(p_world, room, 2 * axis + (sign > 0), detail_seed)
         block = slice(j * FACE, (j + 1) * FACE)
         rgb[:, block] = c.reshape(FACE, FACE, 3)
         depth[:, block] = t.reshape(FACE, FACE)  # ray param == face z
@@ -167,7 +177,7 @@ def render_pano(room: Room, R_wc, t_wc, dataset: str):
     return dict(rgb=rgb, depth=depth, norm=norm, segm=segm)
 
 
-def render_kinect_frame(room: Room, R_wc, t_wc):
+def render_kinect_frame(room: Room, R_wc, t_wc, detail_seed=None):
     """Full-size 480x640 kinect frame (scannet's rgb_full/depth_full)."""
     h, w = config.KINECT_FULL_H, config.KINECT_FULL_W
     cam_center = -R_wc.T @ t_wc
@@ -178,7 +188,8 @@ def render_kinect_frame(room: Room, R_wc, t_wc):
     d_world = dirs @ R_wc
     t, axis, sign = _ray_box(cam_center, d_world, room.half_extent)
     p_world = cam_center[None, :] + t[:, None] * d_world
-    rgb = _texture(p_world, room, 2 * axis + (sign > 0)).reshape(
+    rgb = _texture(p_world, room, 2 * axis + (sign > 0),
+                   detail_seed).reshape(
         h, w, 3).astype(np.float32)
     depth = t.reshape(h, w).astype(np.float32)
     return rgb, depth
@@ -195,7 +206,7 @@ def _yaw_pitch_rot(rng, max_pitch=0.15):
 
 
 def make_pair(seed: int, dataset: str = "suncg", max_baseline: float = 0.8,
-              max_yaw: float = np.pi):
+              max_yaw: float = np.pi, view_detail_jitter: bool = False):
     """A synthetic pano pair + GT relative pose.
 
     Returns (data_s, data_t, T_gt [4,4]) where data_* have rgb/depth/norm/
@@ -224,12 +235,15 @@ def make_pair(seed: int, dataset: str = "suncg", max_baseline: float = 0.8,
     poses[1][:3, 3] = -poses[1][:3, :3] @ c1
 
     views = []
-    for P in poses:
-        v = render_pano(room, P[:3, :3], P[:3, 3], dataset)
+    for vi, P in enumerate(poses):
+        # per-view fine-detail seed (training augmentation, see _texture)
+        dseed = (room.seed * 31 + 7919 * (vi + 1)) if view_detail_jitter \
+            else None
+        v = render_pano(room, P[:3, :3], P[:3, 3], dataset, dseed)
         v["pose"] = P
         if config.canonical_dataset(dataset) == "scannet":
             rgb_full, depth_full = render_kinect_frame(room, P[:3, :3],
-                                                       P[:3, 3])
+                                                       P[:3, 3], dseed)
             v["rgb_full"] = rgb_full
             v["depth_full"] = depth_full
         views.append(v)

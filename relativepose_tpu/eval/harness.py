@@ -80,10 +80,24 @@ def default_sigma_table(dataset: str) -> np.ndarray:
     return np.tile([0.2615, 0.2615, 0.04, 0.01], (3, 1))
 
 
-def hyper_params_from_table(table: Optional[np.ndarray]) -> SolverHyperParams:
+def hyper_params_from_table(table: Optional[np.ndarray],
+                            alter_steps: Optional[int] = None
+                            ) -> SolverHyperParams:
+    """Build per-step solver sigmas from a [steps, 4] --para table.
+
+    `alter_steps` (when given) is validated against the table length: the
+    pipeline indexes the table with a traced step index, which would
+    silently clamp to the last row for a too-short table (the reference's
+    numpy path raises IndexError instead, evaluation.py:96-100)."""
     if table is None:
         return SolverHyperParams(sigma_angle1=0.2615, sigma_angle2=0.2615,
                                  sigma_dist=0.04, sigma_feat=0.01)
+    table = np.asarray(table)
+    if alter_steps is not None and table.shape[0] < alter_steps:
+        raise ValueError(
+            f"sigma table has {table.shape[0]} rows but the pipeline runs "
+            f"{alter_steps} recurrence steps — the --para file must have at "
+            "least one row per step (evaluation.py:96-100)")
     t = jnp.asarray(table, jnp.float32)
     return SolverHyperParams(sigma_angle1=t[:, 0], sigma_angle2=t[:, 1],
                              sigma_dist=t[:, 2], sigma_feat=t[:, 3])

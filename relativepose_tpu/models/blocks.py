@@ -81,9 +81,11 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.padding
+        k = self.kernel_size
+        ks = tuple(k) if isinstance(k, (tuple, list)) else (k, k)
         x = nn.Conv(
             self.features,
-            (self.kernel_size, self.kernel_size),
+            ks,
             strides=(self.stride, self.stride),
             padding=((p, p), (p, p)),
             kernel_dilation=(self.dilation, self.dilation),
@@ -118,16 +120,17 @@ class DeconvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         k, s, p = self.kernel_size, self.stride, self.padding
-        pad = k - 1 - p
-        assert pad >= 0, "unsupported ConvTranspose geometry"
+        kh, kw = tuple(k) if isinstance(k, (tuple, list)) else (k, k)
+        pads = (kh - 1 - p, kw - 1 - p)
+        assert min(pads) >= 0, "unsupported ConvTranspose geometry"
         kernel = self.param(
             "kernel", nn.initializers.xavier_normal(),
-            (k, k, x.shape[-1], self.features), jnp.float32)
+            (kh, kw, x.shape[-1], self.features), jnp.float32)
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype),
             window_strides=(1, 1),
-            padding=((pad, pad), (pad, pad)),
+            padding=((pads[0], pads[0]), (pads[1], pads[1])),
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )

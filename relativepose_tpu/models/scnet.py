@@ -38,6 +38,13 @@ class SCNet(nn.Module):
     use_tanh: bool = True
     dtype: Optional[Dtype] = None
     axis_name: Optional[str] = None
+    # Internal working resolution (mymodel.py:261 hardcodes 224).  Must be
+    # a multiple of 32 per axis >= 64 (the trunk ladder reaches 7x7-ish
+    # before the 3/3/3 bottleneck convs only for 224; other sizes use the
+    # same conv stack — sizes are never hardcoded below).  224x224 HALVES
+    # the pano's pixel count (50k vs 102k), which is why the reference's
+    # resize is kept as the default rather than running native 160x640.
+    internal_size: tuple = (224, 224)
 
     @property
     def num_output(self):
@@ -53,7 +60,7 @@ class SCNet(nn.Module):
         dt, ax = self.dtype, self.axis_name
         kw = dict(batchnorm=bn, dtype=dt, axis_name=ax)
 
-        x = resize_bilinear(x, (224, 224))
+        x = resize_bilinear(x, tuple(self.internal_size))
         rgb = jnp.concatenate([x[..., 0:3], x[..., 7:8]], -1)
         nrm = jnp.concatenate([x[..., 3:6], x[..., 7:8]], -1)
         dep = jnp.concatenate([x[..., 6:7], x[..., 7:8]], -1)
@@ -85,9 +92,6 @@ class SCNet(nn.Module):
         x4 = ConvBlock(ngf * 4, 4, 2, 1, **kw)(xin)   # 28
         x5 = ConvBlock(ngf * 8, 4, 2, 1, **kw)(x4)    # 14
         x6 = ConvBlock(ngf * 8, 4, 2, 1, **kw)(x5)    # 7
-        x7 = ConvBlock(ngf * 8, 3, 2, 0, **kw)(x6)    # 3
-        x8 = ConvBlock(ngf * 8, 3, 1, 1, **kw)(x7)    # 3
-        x9 = ConvBlock(ngf * 16, 3, 1, 0, **kw)(x8)   # 1
 
         skip = self.skip_layer
 
@@ -96,9 +100,23 @@ class SCNet(nn.Module):
                 feat = jnp.concatenate([feat, prev_skip], -1)
             return block(feat)
 
-        dx9 = DeconvBlock(ngf * 8, 3, 1, 0, **kw)(x9)
-        dx8 = up(dx9, x8, DeconvBlock(ngf * 8, 3, 1, 1, **kw))
-        dx7 = up(dx8, x7, DeconvBlock(ngf * 8, 3, 2, 0, **kw))
+        if tuple(self.internal_size) == (224, 224):
+            # the reference's bottleneck ladder (valid only for /32 == 7)
+            x7 = ConvBlock(ngf * 8, 3, 2, 0, **kw)(x6)    # 3
+            x8 = ConvBlock(ngf * 8, 3, 1, 1, **kw)(x7)    # 3
+            x9 = ConvBlock(ngf * 16, 3, 1, 0, **kw)(x8)   # 1
+            dx9 = DeconvBlock(ngf * 8, 3, 1, 0, **kw)(x9)
+            dx8 = up(dx9, x8, DeconvBlock(ngf * 8, 3, 1, 1, **kw))
+            dx7 = up(dx8, x7, DeconvBlock(ngf * 8, 3, 2, 0, **kw))
+        else:
+            # generalized global bottleneck for other working sizes: one
+            # full-extent conv to a 1x1 scene code and its transpose back
+            # (replaces the 3/3/3 ladder, whose geometry only closes at
+            # 224; the two dropped 3x3 convs at 3x3 resolution are
+            # negligible capacity)
+            s_h, s_w = x6.shape[-3], x6.shape[-2]
+            x9 = ConvBlock(ngf * 16, (s_h, s_w), 1, 0, **kw)(x6)   # 1x1
+            dx7 = DeconvBlock(ngf * 8, (s_h, s_w), 1, 0, **kw)(x9)
         dx6 = up(dx7, x6, DeconvBlock(ngf * 8, 4, 2, 1, **kw))
         dx5 = up(dx6, x5, DeconvBlock(ngf * 4, 4, 2, 1, **kw))
         dx4 = up(dx5, x4, DeconvBlock(ngf * 2, 4, 2, 1, **kw))

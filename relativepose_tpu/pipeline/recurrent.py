@@ -49,6 +49,17 @@ class PipelineConfig:
     mask_method: str = "second"       # 'second' | 'kinect'
     alter_steps: int = 3              # rlevel; 1 for ours_nr
     completion: bool = True           # False for ours_nc
+    # Python-unroll the recurrence instead of lax.scan.  The scanned graph
+    # compiles ~4x faster (the 3-step trained graph: 507 s unrolled vs
+    # ~124 s scanned) at identical runtime, so scan is the default; the
+    # unrolled form exists to cross-check XLA cost analysis (which counts
+    # a scan body ONCE regardless of trip count — bench.py corrects for
+    # this) and for schedule experiments.
+    unroll: bool = False
+    # rematerialize each recurrence step on the backward pass (training
+    # THROUGH the pipeline, train/finetune_pose.py: activations of one
+    # step are held at a time instead of all alter_steps)
+    remat: bool = False
     output_type: str = "rgbdnsf"
     snumclass: int = 15
     feature_dim: int = 32
@@ -175,6 +186,18 @@ def estimate_pose_via_completion(
         )
         T = estimate_relative_pose(prim_s, prim_t, hp_step, cfg.solver)
         return T, (prim_s, prim_t)
+
+    if cfg.remat:
+        step_body = jax.checkpoint(step_body)
+
+    if cfg.unroll:
+        prims = []
+        for s in range(cfg.alter_steps):
+            T, p = step_body(T, (jnp.asarray(s), step_keys[s]))
+            prims.append(p)
+        if return_primitives:
+            return T, prims
+        return T
 
     T, stacked_prims = jax.lax.scan(
         step_body, T,

@@ -44,6 +44,17 @@ class CompletionTrainConfig:
     pn_loss: bool = False
     margin: float = 0.5
     hard_negatives: bool = True   # see losses.contrastive_loss
+    # Feature-consistency weighting.  'geow' is the reference
+    # (mainPanoCompletion2view.py:544): weight ZERO on the observed face,
+    # exp-decaying away from the boundary — which leaves the hallucinated
+    # descriptors far from the boundary (exactly where 0-0.1-overlap pairs
+    # must match) nearly unsupervised.  'uniform' weights every valid
+    # pixel equally.  fc_scale multiplies the loss either way.
+    fc_weight_mode: str = "geow"
+    fc_scale: float = 1.0
+    w_depth: float = 1.0          # depth-L1 multiplier (solver needs cm-
+                                  # accurate hallucinated depth for its
+                                  # pairwise filters, rpmodule.py:399-404)
     learning_rate: float = 2e-4
     b1: float = 0.5
     b2: float = 0.999
@@ -139,7 +150,7 @@ def loss_fn(params_g, net_f_params, batch, key, cfg: CompletionTrainConfig):
             lo, hi = sp[m]
             l = losses.masked_l1(fake[..., lo:hi], gt[m], a["total_weight"])
             metrics[f"loss_{m}"] = l
-            total = total + l
+            total = total + (cfg.w_depth * l if m == "d" else l)
     if "s" in sp and a["segm4"] is not None:
         lo, hi = sp["s"]
         l = losses.weighted_ce(fake[..., lo:hi], a["segm4"],
@@ -153,8 +164,10 @@ def loss_fn(params_g, net_f_params, batch, key, cfg: CompletionTrainConfig):
         fakec = net_f.apply(
             {"params": jax.lax.stop_gradient(net_f_params)},
             jnp.concatenate([a["complete4"][:2 * n]] * 2, axis=0))
-        loss_fc = losses.feature_consistency_loss(
-            fake[..., lo:hi], fakec, a["data_mask"], a["geow4"])
+        fc_w = (a["geow4"] if cfg.fc_weight_mode == "geow"
+                else jnp.ones_like(a["geow4"]))
+        loss_fc = cfg.fc_scale * losses.feature_consistency_loss(
+            fake[..., lo:hi], fakec, a["data_mask"], fc_w)
         # contrastive on a random input type (type 0 or 1), p = 0.5
         use_type1 = jax.random.bernoulli(k1)
         f_s = jnp.where(use_type1, 1.0, 0.0)

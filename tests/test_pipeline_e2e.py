@@ -181,6 +181,39 @@ class TestEndToEnd:
             scnet_fn, djs, djt, jax.random.PRNGKey(0), hp, cfg))
         np.testing.assert_allclose(T1, T2, atol=2e-3)
 
+    @pytest.mark.slow
+    def test_scan_flops_accounting(self):
+        """XLA cost analysis counts a lax.scan body ONCE regardless of trip
+        count; bench.py multiplies by alter_steps to compensate.  Verify
+        against a Python-unrolled lowering of the same pipeline:
+        flops(unrolled, 3 steps) ~= 3 * flops(scanned, 3 steps)."""
+        from relativepose_tpu.models import SCNet
+
+        ds, dt, _ = synthetic.make_pair(18, "suncg", max_baseline=0.3)
+        djs, djt = to_jax(ds), to_jax(dt)
+        kp = KeypointConfig(n_detect=96)
+        sol = SolverStaticConfig(power_iters=5)
+        net = SCNet(ngf=8)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((2, 160, 640, 16)))["params"]
+        scnet_fn = lambda x: net.apply({"params": params}, x)
+        hp = SolverHyperParams()
+
+        def flops(unroll):
+            cfg = PipelineConfig(alter_steps=3, keypoints=kp, solver=sol,
+                                 unroll=unroll)
+            f = jax.jit(lambda k: estimate_pose_via_completion(
+                scnet_fn, djs, djt, k, hp, cfg))
+            cost = f.lower(jax.random.PRNGKey(0)).compile().cost_analysis()
+            return float(cost["flops"])
+
+        f_scan, f_unroll = flops(False), flops(True)
+        # the scanned graph reports ~1 step; the corrected figure matches
+        # the unrolled graph (slack for the step-invariant detection prefix
+        # being counted 3x by the correction and fusion differences)
+        assert f_unroll > 2.0 * f_scan
+        assert abs(3.0 * f_scan - f_unroll) / f_unroll < 0.12
+
     def test_per_step_sigma_table(self):
         """hp fields given as [steps] arrays select per-step values
         (evaluation.py:96-100)."""

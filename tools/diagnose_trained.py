@@ -36,6 +36,8 @@ import numpy as np
 
 
 def main():
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--feat_ckpt", type=str, default=None)
     p.add_argument("--comp_ckpt", type=str, default=None)

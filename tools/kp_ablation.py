@@ -24,6 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--sweep", type=int, nargs="+",
                    default=[128, 224, 512, 1024])

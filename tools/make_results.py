@@ -40,6 +40,8 @@ def run(tag, argv):
 
 
 def main():
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--comp_ckpt", type=str, required=True)
     p.add_argument("--maxIter", type=int, default=64)

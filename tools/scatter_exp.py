@@ -55,7 +55,12 @@ def scatter_flat(flat, pos):
 
 @jax.jit
 def sortgather(flat, pos):
-    # stable sort by slot key; winner of a duplicate run = last (max pos)
+    # Stable sort by slot key; the winner of a duplicate run is the LAST
+    # entry.  PRECONDITION: equals scatter-max of `pos` only because `pos`
+    # is ascending within each row in this bench (arange).  Porting this
+    # variant into splat_to_pano with non-monotonic pos would silently
+    # change which duplicate wins — sort by a composite (slot, pos) key
+    # there instead.
     order = jnp.argsort(flat, axis=-1, stable=True)
     key_sorted = jnp.take_along_axis(flat, order, -1)
     pos_sorted = jnp.take_along_axis(pos, order, -1)
@@ -80,6 +85,8 @@ def bench(fn, flat, pos, iters=20):
 
 
 def main():
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="+", default=[8, 16, 32])
     ap.add_argument("--iters", type=int, default=20)

@@ -83,6 +83,8 @@ def sort_search(flat, payload):
 
 
 def main():
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)

@@ -63,6 +63,8 @@ def frontend(points, valid, dataset):
 
 
 def main():
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)

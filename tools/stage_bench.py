@@ -34,6 +34,8 @@ def timeit(fn, args, iters):
 
 
 def main():
+    import relativepose_tpu
+    relativepose_tpu.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
