@@ -79,6 +79,9 @@ def _parse_args(argv=None):
     p.add_argument("--saveCompletion", type=int, default=1,
                    help="accepted for parity (unused in the reference too, "
                         "evaluation.py:63)")
+    p.add_argument("--force_cpu", type=int, default=1,
+                   help="classical methods only: run the jax bookkeeping "
+                        "ops on host CPU instead of the TPU tunnel")
     p.add_argument("--debug", action="store_true")
     p.add_argument("-l", "--log", dest="log", type=str, default="WARNING",
                    help="python logging level (evaluation.py:69)")
@@ -164,8 +167,15 @@ def main(argv=None):
         sigma_table=sigma_table)
 
     if args.method in harness.CLASSICAL_METHODS:
+        if args.force_cpu:
+            # the classical methods are host C++; keeping the bookkeeping
+            # ops (parse/overlap) off the TPU avoids per-pair tunnel
+            # dispatch latency dominating the run
+            jax.config.update("jax_platforms", "cpu")
         from relativepose_tpu.eval import baselines
-        return baselines.run_classical_eval(args, cfg)
+        runner = baselines.run_classical_eval(args, cfg)
+        print(json.dumps(runner.summary()))
+        return runner
 
     pipe_cfg = PipelineConfig(
         dataset=args.family, mask_method=args.maskMethod,

@@ -47,6 +47,16 @@ def main(argv=None):
     p.add_argument("--batchnorm", type=int, default=1)
     p.add_argument("--cache", type=str, default=None,
                    help="primitive cache .npy (created if missing)")
+    p.add_argument("--tune_method", type=str, default="grad",
+                   choices=["grad", "fd"],
+                   help="'grad' = exact jax.grad Adam on log-sigma; 'fd' "
+                        "= the reference's randomized finite differences "
+                        "(trainRelativePoseModuleRecFD.py:245-298)")
+    p.add_argument("--val_frac", type=float, default=0.25,
+                   help="held-out pair fraction per level; tuned rows are "
+                        "shipped only if they beat the defaults there")
+    p.add_argument("--grad_steps", type=int, default=150)
+    p.add_argument("--grad_lr", type=float, default=0.03)
     p.add_argument("--out", type=str, required=True,
                    help="output sigma table txt")
     p.add_argument("--seed", type=int, default=0)
@@ -98,7 +108,9 @@ def main(argv=None):
     table = st.tune_per_level(
         by_level, rgt,
         fd=st.FDConfig(max_iter=args.max_iter, seed=args.seed),
-        cfg=SolverStaticConfig())
+        cfg=SolverStaticConfig(), method=args.tune_method,
+        val_frac=args.val_frac, grad_steps=args.grad_steps,
+        grad_lr=args.grad_lr)
     np.savetxt(args.out, table)
     print(f"wrote sigma table {args.out}:\n{table}")
     return table

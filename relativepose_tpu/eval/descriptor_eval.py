@@ -54,6 +54,54 @@ def ranking_ratio(feat_s, feat_t, idx_src, idx_tgt, valid, sample=100,
     return ratios, valid
 
 
+def sift_ranking_ratio(rgb_s, rgb_t, idx_src, idx_tgt, valid, sample=100,
+                       step_size=5, seed=0):
+    """Classical-SIFT ranking ratios (mainFeatureLearning.py:293-321).
+
+    Host-side cv2: for each valid pair, sample `sample` GT correspondences,
+    compute SIFT descriptors (keypoint size = step_size) at the source and
+    target points and on a dense step_size-pixel grid over the target;
+    ratio = fraction of grid locations whose descriptor is closer to the
+    source descriptor than the true match's.  This is the comparison curve
+    the reference plots against the learned descriptors.
+
+    rgb_s/rgb_t: [n, H, W, 3] BGR in [0, 1] (numpy); idx_*: [n, K, 2]
+    (x, y); valid: [n].  Returns a list of per-pair mean ratios.
+    """
+    import cv2
+    import numpy as np
+
+    sift = cv2.SIFT_create(contrastThreshold=0.02)  # rputil.py:152
+    rng = np.random.RandomState(seed)
+    n, h, w = rgb_s.shape[0], rgb_s.shape[1], rgb_s.shape[2]
+    grid_kp = [cv2.KeyPoint(float(x), float(y), step_size)
+               for y in range(0, h, step_size)
+               for x in range(0, w, step_size)]
+    ratios = []
+    for j in range(n):
+        if not bool(valid[j]):
+            continue
+        sel = rng.choice(idx_src.shape[1], sample)
+        gray_s = cv2.cvtColor(
+            (np.asarray(rgb_s[j]) * 255).astype(np.uint8),
+            cv2.COLOR_BGR2GRAY)
+        gray_t = cv2.cvtColor(
+            (np.asarray(rgb_t[j]) * 255).astype(np.uint8),
+            cv2.COLOR_BGR2GRAY)
+        kp_s = [cv2.KeyPoint(float(c[0]), float(c[1]), step_size)
+                for c in np.asarray(idx_src[j])[sel]]
+        kp_t = [cv2.KeyPoint(float(c[0]), float(c[1]), step_size)
+                for c in np.asarray(idx_tgt[j])[sel]]
+        _, d_s = sift.compute(gray_s, kp_s)
+        _, d_t = sift.compute(gray_t, kp_t)
+        _, d_grid = sift.compute(gray_t, list(grid_kp))
+        true_d2 = np.power(d_s - d_t, 2).sum(1)
+        rest = np.power(d_s[:, None, :] - d_grid[None, :, :], 2).sum(2)
+        ratio = (rest < true_d2[:, None]).sum(1) / rest.shape[1]
+        ratios.append(float(ratio.mean()))
+    return ratios
+
+
 def observe_type(mask, idx_src, idx_tgt):
     """Correspondence observation class (mainFeatureLearning.py:427-433):
     2 = both endpoints observed, 1 = one, 0 = none.  mask: [n, H, W]."""

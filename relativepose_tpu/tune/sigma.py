@@ -104,6 +104,56 @@ def fd_optimize(objective: Callable, sigma0, fd: FDConfig = FDConfig(),
     return sigma, history
 
 
+def grad_optimize(objective, sigma0, steps: int = 150, lr: float = 0.03,
+                  log_fn=print, val_objective: Optional[Callable] = None):
+    """First-order sigma fit: Adam on log-sigma via `jax.grad` of the SAME
+    objective the FD path uses.
+
+    The solver is smooth almost everywhere in the sigmas (Gaussian
+    affinities, IRLS reweighting, power iteration, the 4x4 Jacobi
+    eigensolver are all differentiable jnp ops; the hard threshold masks
+    do not depend on sigma) — so the exact gradient is available.  The
+    reference could never do this: its solver runs scipy ARPACK + numpy
+    (rpmodule.py:86-167) and is opaque to autodiff, hence the 10-sample
+    lstsq FD scheme (trainRelativePoseModuleRecFD.py:245-261), whose
+    gradient estimate round 3 measured as too noisy to beat the defaults
+    on a nearly-flat objective.
+
+    Log-parameterization keeps sigmas positive.  Returns (best_sigma,
+    history): best by `val_objective` when given (else training loss) —
+    the caller ships a tuned row only if it beats sigma0 on held-out
+    pairs (VERDICT r3 #6).
+    """
+    import optax
+
+    value_and_grad = jax.jit(jax.value_and_grad(
+        lambda ls: objective(jnp.exp(ls))))
+    log_sig = jnp.log(jnp.asarray(sigma0, jnp.float32))
+    tx = optax.adam(lr)
+    opt_state = tx.init(log_sig)
+    score = (lambda s: float(val_objective(s))) if val_objective \
+        else None
+    best = (np.exp(np.asarray(log_sig)),
+            score(jnp.exp(log_sig)) if score else np.inf)
+    history = []
+    for it in range(steps):
+        loss, g = value_and_grad(log_sig)
+        updates, opt_state = tx.update(g, opt_state)
+        log_sig = optax.apply_updates(log_sig, updates)
+        sig = jnp.exp(log_sig)
+        cur = score(sig) if score else float(loss)
+        history.append((float(loss), cur, np.asarray(sig)))
+        if cur < best[1]:
+            best = (np.asarray(sig), cur)
+        if (it + 1) % 25 == 0:
+            log_fn(f"[grad] step {it + 1}: train {float(loss):.6f} "
+                   f"{'val %.6f' % cur if score else ''} sigma "
+                   f"{np.asarray(sig).round(4)}")
+    if best[1] is np.inf:  # no validation: last iterate
+        best = (np.asarray(jnp.exp(log_sig)), float(loss))
+    return best[0], history
+
+
 def cache_primitives(scnet_fn_factory, pairs, hp_table, pipe_cfg, key=None,
                      cache_path: Optional[str] = None, scnet_params=None):
     """Run the recurrent pipeline once per pair and record the solver-ready
@@ -158,16 +208,50 @@ def stack_primitives(prims):
 
 def tune_per_level(primitives_by_level, R_gt, sigma0=None,
                    fd: FDConfig = FDConfig(),
-                   cfg: Optional[SolverStaticConfig] = None):
+                   cfg: Optional[SolverStaticConfig] = None,
+                   method: str = "fd", val_frac: float = 0.0,
+                   grad_steps: int = 150, grad_lr: float = 0.03):
     """Fit a sigma row per recurrence level -> [levels, 4] table
-    (the format of data/relativePoseModule/final_param_*_rlevel_3.txt)."""
+    (the format of data/relativePoseModule/final_param_*_rlevel_3.txt).
+
+    method: 'fd' = the reference's randomized finite differences;
+    'grad' = exact-gradient Adam (grad_optimize).  val_frac > 0 holds out
+    that fraction of pairs per level; a tuned row is ACCEPTED only if it
+    beats sigma0 on the held-out objective (otherwise the row stays
+    sigma0) — round 3 shipped an FD table that degraded held-out results
+    (RESULTS r3 rows 1 vs 4), so validation gates the artifact now.
+    """
     sigma0 = np.asarray(
         sigma0 if sigma0 is not None else [0.2615, 0.2615, 0.04, 0.01])
     rows = []
     for level, prims in enumerate(primitives_by_level):
-        ps, pt = stack_primitives(prims)
-        obj = make_objective(ps, pt, jnp.asarray(R_gt), cfg)
-        sig, hist = fd_optimize(obj, sigma0, fd,
-                                log_fn=lambda m: print(f"level {level} {m}"))
+        n = len(prims)
+        n_val = int(n * val_frac)
+        tr, va = (prims[:-n_val], prims[-n_val:]) if n_val else (prims, [])
+        rg = np.asarray(R_gt)
+        rg_tr, rg_va = (rg[:-n_val], rg[-n_val:]) if n_val else (rg, None)
+        ps, pt = stack_primitives(tr)
+        obj = make_objective(ps, pt, jnp.asarray(rg_tr), cfg)
+        val_obj = None
+        if va:
+            vps, vpt = stack_primitives(va)
+            val_obj = make_objective(vps, vpt, jnp.asarray(rg_va), cfg)
+        log = lambda m, level=level: print(f"level {level} {m}")
+        if method == "grad":
+            sig, _ = grad_optimize(obj, sigma0, steps=grad_steps,
+                                   lr=grad_lr, log_fn=log,
+                                   val_objective=val_obj)
+        else:
+            sig, _ = fd_optimize(obj, sigma0, fd, log_fn=log)
+        if val_obj is not None:
+            v_tuned = float(val_obj(jnp.asarray(sig, jnp.float32)))
+            v_base = float(val_obj(jnp.asarray(sigma0, jnp.float32)))
+            if v_tuned >= v_base:
+                print(f"level {level}: tuned sigma rejected on held-out "
+                      f"({v_tuned:.6f} >= {v_base:.6f}); keeping defaults")
+                sig = sigma0.copy()
+            else:
+                print(f"level {level}: tuned sigma accepted "
+                      f"({v_tuned:.6f} < {v_base:.6f})")
         rows.append(sig)
     return np.stack(rows)

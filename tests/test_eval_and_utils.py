@@ -238,6 +238,63 @@ class TestSigmaTuner:
             sigma_tune.FDConfig(max_iter=15), log_fn=lambda m: None)
         assert hist[-1][0] < hist[0][0] * 0.5
 
+    def test_grad_optimize_improves_quadratic(self):
+        target = jnp.asarray([0.3, 0.2, 0.05, 0.02])
+        obj = lambda s: jnp.sum((s - target) ** 2)
+        sig, hist = sigma_tune.grad_optimize(
+            obj, [0.5, 0.5, 0.1, 0.05], steps=120, lr=0.05,
+            log_fn=lambda m: None)
+        assert float(obj(jnp.asarray(sig))) < 0.25 * float(
+            obj(jnp.asarray([0.5, 0.5, 0.1, 0.05])))
+        assert (sig > 0).all()
+
+    def test_tune_per_level_validation_gate(self, rng):
+        """A tuned row that does not beat sigma0 on the held-out pairs
+        must be rejected (VERDICT r3 #6: round 3 shipped a table that
+        degraded held-out results)."""
+        from relativepose_tpu.match.solver import SolverStaticConfig
+        prims, rgts = self._toy_primitives(rng, n_pairs=8)
+        # grad tuning on a noiseless synthetic scene barely moves the
+        # objective; the gate should either accept an improvement or
+        # fall back to sigma0 — never ship a worse row.
+        table = sigma_tune.tune_per_level(
+            [prims], rgts, method="grad", val_frac=0.25, grad_steps=8,
+            cfg=SolverStaticConfig(top_k=3, power_iters=10))
+        assert table.shape == (1, 4)
+        ps, pt = sigma_tune.stack_primitives(prims[-2:])
+        val_obj = sigma_tune.make_objective(
+            ps, pt, jnp.asarray(rgts[-2:]),
+            SolverStaticConfig(top_k=3, power_iters=10))
+        default = float(val_obj(jnp.asarray([0.2615, 0.2615, 0.04, 0.01])))
+        tuned = float(val_obj(jnp.asarray(table[0], jnp.float32)))
+        assert tuned <= default + 1e-6
+
+
+class TestSiftDescriptor:
+    def test_sift_ranking_ratio_identity(self, rng):
+        """Same image + identity correspondences: the true match's SIFT
+        distance is 0, so (almost) no grid location ranks closer
+        (mainFeatureLearning.py:293-321 semantics)."""
+        from relativepose_tpu.data import synthetic
+        from relativepose_tpu.eval.descriptor_eval import sift_ranking_ratio
+
+        ds, _, _ = synthetic.make_pair(2, "suncg")
+        rgb = ds["rgb"][None]  # [1, H, W, 3]
+        k = 64
+        xs = rng.randint(5, rgb.shape[2] - 5, k)
+        ys = rng.randint(5, rgb.shape[1] - 5, k)
+        idx = np.stack([xs, ys], -1)[None].astype(np.float32)
+        ratios = sift_ranking_ratio(rgb, rgb, idx, idx, np.ones(1),
+                                    sample=32)
+        assert len(ratios) == 1
+        assert 0.0 <= ratios[0] < 0.02
+
+    def test_sift_ranking_ratio_skips_invalid(self):
+        from relativepose_tpu.eval.descriptor_eval import sift_ranking_ratio
+        rgb = np.zeros((1, 32, 32, 3), np.float32)
+        idx = np.zeros((1, 4, 2), np.float32)
+        assert sift_ranking_ratio(rgb, rgb, idx, idx, np.zeros(1)) == []
+
 
 class TestCheckpoint:
     def test_save_restore_keep3(self, tmp_path):

@@ -49,12 +49,21 @@ def main():
     p.add_argument("--family", type=str, default="suncg")
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--classical", action="store_true",
-                   help="also run the gs (FPFH+RANSAC) baseline (slow, host)")
+                   help="also run the classical baselines (super4pcs / gs "
+                        "/ fgs / cgs — host C++; they skip overlap < 0.1 "
+                        "pairs, evaluation.py:190-191)")
     p.add_argument("--tuned_para", type=str, default=None,
                    help="sigma table txt produced by cli.tune_sigma on the "
                         "trained primitives; adds an 'ours (tuned sigma)' "
                         "row (trainRelativePoseModuleRecFD.py:296-298)")
+    p.add_argument("--ft_ckpt", type=str, default=None,
+                   help="pose-finetuned SCNet checkpoint "
+                        "(cli.finetune_pose); adds an "
+                        "'ours (pose-finetuned)' row")
     p.add_argument("--out", type=str, default="RESULTS.md")
+    p.add_argument("--append", action="store_true",
+                   help="append this family's section to --out instead of "
+                        "overwriting (multi-family RESULTS.md)")
     args = p.parse_args()
 
     base = ["--dataList", "synthetic", "--synthetic_family", args.family,
@@ -74,17 +83,30 @@ def main():
                         base + ck + ["--method", "ours", "--exp",
                                      "res_ours_tuned", "--para",
                                      args.tuned_para]))
+    if args.ft_ckpt:
+        rows.append(run("ours (pose-finetuned)",
+                        base + ["--comp_ckpt", args.ft_ckpt, "--ngf",
+                                str(args.ngf), "--method", "ours",
+                                "--exp", "res_ours_ft"]))
     rows.append(run("ours (GT oracle completion)",
                     base + ["--method", "ours", "--exp", "res_oracle"]))
     if args.classical:
-        rows.append(run("gs (FPFH+RANSAC, host C++)",
-                        base + ["--method", "gs", "--exp", "res_gs"]))
+        for m, tag in (("super4pcs", "super4pcs (4PCS, host C++)"),
+                       ("gs", "gs (FPFH+RANSAC, host C++)"),
+                       ("fgs", "fgs (fast global reg., host C++)"),
+                       ("cgs", "cgs (colored ICP, host C++)")):
+            rows.append(run(tag, base + ["--method", m, "--exp",
+                                         f"res_{m}"]))
 
     def fmt(v):
         return "-" if v is None else f"{v:.2f}"
 
-    lines = [
+    header = [
         "# RESULTS — learned-model accuracy (synthetic scenes, single v5e chip)",
+        "",
+    ] if not (args.append and os.path.exists(args.out)) else []
+    lines = header + [
+        f"## {args.family}",
         "",
         f"Protocol: `cli.evaluate` on {args.maxIter} synthetic "
         f"{args.family} pano pairs (same generator + seeds for every row), "
@@ -123,24 +145,25 @@ def main():
         "evaluation.py:294-297).",
         "- sec/pair is steady-state device time (the first, compiling "
         "batch is excluded and reported in the 'compile s' column; the "
-        "reference has no compile phase).",
+        "reference has no compile phase).  compile s reflects the state "
+        "of the persistent XLA compile cache: the first row of a fresh "
+        "machine compiles cold, later rows (and reruns) may hit the disk "
+        "cache — compare compile times only across runs with "
+        "RPTPU_NO_COMPILE_CACHE=1.",
         "- The reference repo publishes no numeric results (SURVEY.md §6); "
         "its protocol is reproduced here on synthetic scenes because the "
         "real datasets are external downloads.",
-        "- 'tuned sigma' uses the cli.tune_sigma FD-fitted per-level table "
-        "(data/params/tuned_sigma_suncg_rlevel_3.txt) produced on 48 "
-        "trained-primitive sets from TRAIN scenes; on held-out scenes it "
-        "does not improve over the defaults (the FD objective landscape "
-        "is nearly flat — see docs/TRAINING.md held-out diagnostics for "
-        "why hallucinated-descriptor quality, not sigma, is the binding "
-        "constraint).",
+        "- classical methods skip pairs with overlap < 0.1 "
+        "(evaluation.py:190-191), so their 0-0.1 columns are empty by "
+        "protocol — only the 'ours' family operates there.",
         "",
         "Raw summaries:",
         "```json",
         json.dumps(rows, indent=2),
         "```",
     ]
-    with open(args.out, "w") as f:
+    mode = "a" if args.append and os.path.exists(args.out) else "w"
+    with open(args.out, mode) as f:
         f.write("\n".join(lines) + "\n")
     print(f"[make_results] wrote {args.out}")
 
