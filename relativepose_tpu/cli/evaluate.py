@@ -122,11 +122,8 @@ def scnet_fn_factory_from_checkpoint(args, layout: ChannelLayout):
             params = import_scnet(sd, output_type=args.outputType,
                                   batchnorm=bool(args.batchnorm))
         else:
-            from relativepose_tpu.utils.checkpoint import CheckpointManager
-            state = CheckpointManager(args.comp_ckpt).restore()
-            if state is None:
-                raise FileNotFoundError(args.comp_ckpt)
-            params = state["params"]
+            from relativepose_tpu.utils.checkpoint import restore_params
+            params = restore_params(args.comp_ckpt)["params"]
         # orbax/torch restore yields HOST numpy arrays; as jit arguments
         # they would be re-uploaded over the tunnel EVERY call (measured
         # 4.1 s vs 34 ms per SCNet forward).  Pin them in HBM once.

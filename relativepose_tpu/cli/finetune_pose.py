@@ -78,10 +78,8 @@ def main(argv=None):
         trans_weight=args.trans_weight, anchor_weight=args.anchor_weight,
         ngf=args.ngf, dtype=jnp.bfloat16 if args.bf16 else None)
 
-    state0 = CheckpointManager(args.comp_ckpt).restore()
-    if state0 is None:
-        raise FileNotFoundError(args.comp_ckpt)
-    params = jax.device_put(state0["params"])
+    from relativepose_tpu.utils.checkpoint import restore_params
+    params = jax.device_put(restore_params(args.comp_ckpt)["params"])
     tx = finetune_pose.make_optimizer(ft_cfg)
     state = {"params": params, "anchor_params": params,
              "opt_state": tx.init(params), "step": 0}

@@ -81,10 +81,10 @@ def main(argv=None):
             load_torch_state_dict(args.torch_feat_ckpt))
         logf("loaded frozen netF weights (torch state-dict)")
     elif args.feat_ckpt:
-        feat_state = CheckpointManager(args.feat_ckpt).restore()
-        if feat_state is not None:
-            net_f_params = feat_state["params"]["net_f"]
-            logf("loaded frozen netF weights")
+        from relativepose_tpu.utils.checkpoint import restore_params
+        feat_state = restore_params(args.feat_ckpt)
+        net_f_params = feat_state["params"]["net_f"]
+        logf("loaded frozen netF weights")
     state = completion.init_state(jax.random.PRNGKey(0), cfg, net_f_params)
     parameters_count(state["params"], "netG")
     ckpt = CheckpointManager(dirs.params_dir, keep=3)

@@ -17,6 +17,60 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def save_params_npz(path: str, params, dtype=np.float16) -> str:
+    """Export a params pytree as one compressed npz ('/'-joined keys).
+
+    A portable, git-committable weight artifact (~2 bytes/param at f16):
+    round 3's trained checkpoints lived only in experiments/ and were lost
+    with the machine — shipped weights now live in
+    relativepose_tpu/data/pretrained/ (the reference ships torch
+    .pth.tar checkpoints the same way, evaluation.py:143-150)."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            arr = np.asarray(jax.device_get(node))
+            flat[prefix] = arr.astype(dtype) if np.issubdtype(
+                arr.dtype, np.floating) else arr
+
+    walk("", params)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **flat)
+    return path
+
+
+def load_params_npz(path: str, dtype=np.float32):
+    """Inverse of save_params_npz -> nested dict pytree (floats as
+    `dtype`)."""
+    out = {}
+    with np.load(path) as z:
+        for key in z.files:
+            arr = z[key]
+            if np.issubdtype(arr.dtype, np.floating):
+                arr = arr.astype(dtype)
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = arr
+    return out
+
+
+def restore_params(path: str):
+    """Load completion/feature params from either an orbax checkpoint dir
+    (returns the saved state dict) or a .npz weight artifact (returns
+    {'params': pytree}) — the common currency of the eval/train CLIs."""
+    if path.endswith(".npz"):
+        return {"params": load_params_npz(path)}
+    state = CheckpointManager(path).restore()
+    if state is None:
+        raise FileNotFoundError(path)
+    return state
+
+
 class CheckpointManager:
     def __init__(self, directory: str, keep: int = 3):
         self.directory = os.path.abspath(directory)

@@ -309,6 +309,26 @@ class TestCheckpoint:
         np.testing.assert_allclose(loaded["params"]["w"],
                                    state["params"]["w"])
 
+    def test_npz_weight_artifact_roundtrip(self, tmp_path):
+        from relativepose_tpu.utils.checkpoint import (
+            load_params_npz,
+            restore_params,
+            save_params_npz,
+        )
+        params = {"conv": {"kernel": np.random.randn(3, 3, 4, 8)
+                           .astype(np.float32),
+                           "bias": np.zeros(8, np.float32)},
+                  "bn": {"scale": np.ones(8, np.float32)}}
+        path = str(tmp_path / "w.npz")
+        save_params_npz(path, params)
+        back = load_params_npz(path)
+        assert set(back) == {"conv", "bn"}
+        np.testing.assert_allclose(back["conv"]["kernel"],
+                                   params["conv"]["kernel"], atol=1e-3)
+        assert back["conv"]["kernel"].dtype == np.float32  # upcast on load
+        st = restore_params(path)
+        assert "params" in st and "conv" in st["params"]
+
     def test_partial_restore(self, tmp_path):
         cm = CheckpointManager(str(tmp_path))
         cm.save(0, {"a": np.ones(3), "b": np.zeros(2)})

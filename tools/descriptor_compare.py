@@ -52,8 +52,9 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else None
     net_f = Resnet18_8s(num_input=7, feature_dim=32, use_tanh=True,
                         dtype=dtype)
+    from relativepose_tpu.utils.checkpoint import restore_params
     feat_params = jax.device_put(
-        CheckpointManager(args.feat_ckpt).restore()["params"]["net_f"])
+        restore_params(args.feat_ckpt)["params"]["net_f"])
 
     src = dsets.SyntheticPairs(args.family, n=args.n, seed=args.seed)
     store = DeviceStore(src)

@@ -68,13 +68,14 @@ def main():
     net_f = Resnet18_8s(num_input=7, feature_dim=cfg.feature_dim,
                         use_tanh=cfg.use_tanh, base_width=cfg.base_width,
                         dtype=dtype)
+    from relativepose_tpu.utils.checkpoint import restore_params
     feat_params = None
     if args.feat_ckpt:
-        st = CheckpointManager(args.feat_ckpt).restore()
+        st = restore_params(args.feat_ckpt)
         feat_params = jax.device_put(st["params"]["net_f"])
     net_g = g_params = None
     if args.comp_ckpt:
-        st = CheckpointManager(args.comp_ckpt).restore()
+        st = restore_params(args.comp_ckpt)
         g_params = jax.device_put(st["params"])
         net_g = SCNet(output_type=cfg.output_type, snumclass=cfg.snumclass,
                       feature_dim=cfg.feature_dim, ngf=cfg.ngf,

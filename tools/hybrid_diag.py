@@ -77,14 +77,14 @@ def main():
                   snumclass=pipe_cfg.snumclass,
                   feature_dim=pipe_cfg.feature_dim, ngf=args.ngf,
                   dtype=jnp.bfloat16)
-    g_params = jax.device_put(
-        CheckpointManager(args.comp_ckpt).restore()["params"])
+    from relativepose_tpu.utils.checkpoint import restore_params
+    g_params = jax.device_put(restore_params(args.comp_ckpt)["params"])
     net_f = Resnet18_8s(num_input=7, feature_dim=pipe_cfg.feature_dim,
                         use_tanh=True, dtype=jnp.bfloat16)
     f_params = {}
     if args.feat_ckpt:
         f_params = jax.device_put(
-            CheckpointManager(args.feat_ckpt).restore()["params"]["net_f"])
+            restore_params(args.feat_ckpt)["params"]["net_f"])
 
     def make_factory(combo: str):
         gt_geo = combo.endswith("gtgeo")
