@@ -67,9 +67,13 @@ def main(argv=None):
     logf = FileLogger(dirs.log_path)
     family = args.synthetic_family
 
+    from relativepose_tpu.match.solver import SolverStaticConfig
     pipe_cfg = PipelineConfig(
         dataset=family, alter_steps=args.alter_steps, completion=True,
-        keypoints=KeypointConfig(), remat=True)
+        keypoints=KeypointConfig(), remat=True,
+        # Pallas kernels have no autodiff rule — the differentiable path
+        # must use the XLA W build / power iteration
+        solver=SolverStaticConfig(pallas_w_build=False, use_pallas=False))
     hp = harness.hyper_params_from_table(
         harness.default_sigma_table(family)[:args.alter_steps],
         alter_steps=args.alter_steps)

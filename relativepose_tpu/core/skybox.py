@@ -281,7 +281,9 @@ def lift_keypoints(depth, normal, pts, dataset: str):
 
     val = bilerp(depth[..., None])[..., 0]
     nrm = bilerp(normal)
-    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    # grad-safe normalization (zero normals at invalid pixels would NaN
+    # the pose-loss backward pass, train/finetune_pose.py)
+    nrm = nrm / jnp.sqrt(jnp.sum(nrm * nrm, axis=-1, keepdims=True) + 1e-24)
 
     face = (x // H).astype(jnp.int32)
     xstp = ((x - face * H) / H - 0.5) * 2.0

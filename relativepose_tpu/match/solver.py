@@ -124,8 +124,13 @@ def descriptor_affinity(feat_s, feat_t, w_s, w_t, valid_s, valid_t,
     sigma = jnp.where(both_obs, sigma_feat / OBS_W, sigma_feat)
     wij = jnp.exp(-d_ij / (2.0 * (sigma / 5.0) ** 2))
     wij = wij * valid_s[:, None] * valid_t[None, :]
-    nm = jnp.linalg.norm(wij, axis=1, keepdims=True)
-    return jnp.where(nm > 0, wij / jnp.maximum(nm, _EPS), 0.0)
+    # gradient-safe row normalization: jnp.linalg.norm of an all-zero row
+    # (fully-invalid source keypoint) has a NaN backward (0/0) that
+    # poisons pose-loss fine-tuning through the solver
+    # (train/finetune_pose.py); sqrt(sum^2 + eps^2) is forward-identical
+    # to ~1e-12 and smooth at 0.
+    nm = jnp.sqrt(jnp.sum(wij * wij, axis=1, keepdims=True) + _EPS * _EPS)
+    return wij / nm
 
 
 def _gather_correspondences(wij, top_k):
@@ -161,8 +166,11 @@ def pair_weight_matrix(ps, pt, ns, nt, f, obs_prod, cvalid, hp):
     dd_t = [pt[:, k, None] - pt[None, :, k] for k in range(3)]
     d2_s = dd_s[0] ** 2 + dd_s[1] ** 2 + dd_s[2] ** 2
     d2_t = dd_t[0] ** 2 + dd_t[1] ** 2 + dd_t[2] ** 2
-    dis_s = jnp.sqrt(d2_s)
-    dis_t = jnp.sqrt(d2_t)
+    # +eps under the sqrt: d/dx sqrt(0) = inf, and the diagonal /
+    # duplicate-keypoint zero distances otherwise turn the fine-tuning
+    # backward pass into masked-out-times-inf = NaN
+    dis_s = jnp.sqrt(d2_s + 1e-20)
+    dis_t = jnp.sqrt(d2_t + 1e-20)
     d2 = (dis_s - dis_t) ** 2
     dist_ok = (d2 < hp.dist_thre**2) & (
         jnp.minimum(dis_s, dis_t) > 1.5 * hp.dist_sep_thre**2
@@ -176,11 +184,14 @@ def pair_weight_matrix(ps, pt, ns, nt, f, obs_prod, cvalid, hp):
         """(arccos a - arccos b)^2 for a, b in [-1, 1], via
         cos(alpha - beta) = ab + sin(alpha) sin(beta): both angles are in
         [0, pi] and only the square is used, so one arccos suffices."""
-        a = jnp.clip(a, -1.0, 1.0)
-        b = jnp.clip(b, -1.0, 1.0)
-        c = a * b + jnp.sqrt(
-            jnp.maximum((1.0 - a * a) * (1.0 - b * b), 0.0))
-        return jnp.arccos(jnp.clip(c, -1.0, 1.0)) ** 2
+        # clip strictly inside [-1, 1]: arccos'(+-1) and sqrt'(0) are
+        # infinite, and parallel normals (c == 1 exactly) are the COMMON
+        # case — forward changes by < arccos(1 - 1e-7)^2 ~= 2e-7
+        lim = 1.0 - 1e-7
+        a = jnp.clip(a, -lim, lim)
+        b = jnp.clip(b, -lim, lim)
+        c = a * b + jnp.sqrt((1.0 - a * a) * (1.0 - b * b) + 1e-20)
+        return jnp.arccos(jnp.clip(c, -lim, lim)) ** 2
 
     nn_s = jnp.einsum("ci,di->cd", ns, ns, precision=_HP)
     nn_t = jnp.einsum("ci,di->cd", nt, nt, precision=_HP)
@@ -234,8 +245,8 @@ def _power_iteration(matvec, c, iters):
 
     def body(_, v):
         y = matvec(v)
-        n = jnp.linalg.norm(y)
-        return jnp.where(n > _EPS, y / jnp.maximum(n, _EPS), v)
+        n = jnp.sqrt(jnp.sum(y * y) + _EPS * _EPS)  # grad-safe at y = 0
+        return jnp.where(n > 2.0 * _EPS, y / n, v)
 
     return jax.lax.fori_loop(0, iters, body, v)
 

@@ -25,6 +25,11 @@ def _jacobi_rotation(app, aqq, apq):
     # theta = (aqq - app) / (2 apq); t = sign/(|theta|+sqrt(1+theta^2))
     safe_apq = jnp.where(jnp.abs(apq) < _EPS, 1.0, apq)
     theta = (aqq - app) / (2.0 * safe_apq)
+    # clip |theta|: beyond 1e6 the rotation is < 5e-7 rad (below f32
+    # resolution of the updated entries) but theta^2 overflows f32 to inf,
+    # whose BACKWARD (theta/sqrt(1+theta^2) = inf/inf) is NaN and poisons
+    # pose-loss fine-tuning through Horn'87
+    theta = jnp.clip(theta, -1e6, 1e6)
     t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(1.0 + theta * theta))
     t = jnp.where(theta == 0, 1.0, t)  # 45 deg when diagonal entries equal
     t = jnp.where(jnp.abs(apq) < _EPS, 0.0, t)
@@ -69,4 +74,5 @@ def max_eigvec4x4(A, sweeps: int = 8):
     idx = jnp.argmax(w, axis=-1)
     v = jnp.take_along_axis(V, idx[..., None, None].repeat(4, axis=-2), axis=-1)
     v = v[..., 0]
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    # grad-safe normalization (see match/solver.py): sqrt(sum^2 + eps)
+    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-24)

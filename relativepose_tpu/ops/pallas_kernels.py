@@ -152,10 +152,14 @@ def _wbuild_kernel(hp_ref, rows_ref, cols_ref, w_ref, counts_ref):
         return jnp.where(x < 0.0, jnp.float32(np.pi) - y, y)
 
     def ang_diff_sq(a, b):
-        a = jnp.clip(a, -1.0, 1.0)
-        b = jnp.clip(b, -1.0, 1.0)
-        c = a * b + jnp.sqrt(jnp.maximum((1.0 - a * a) * (1.0 - b * b), 0.0))
-        return acos(jnp.clip(c, -1.0, 1.0)) ** 2
+        # strict-interior clip, mirroring the XLA build's gradient-safe
+        # form (match/solver.py::ang_diff_sq) so the two builds stay
+        # bit-comparable
+        lim = jnp.float32(1.0 - 1e-7)
+        a = jnp.clip(a, -lim, lim)
+        b = jnp.clip(b, -lim, lim)
+        c = a * b + jnp.sqrt((1.0 - a * a) * (1.0 - b * b) + 1e-20)
+        return acos(jnp.clip(c, -lim, lim)) ** 2
 
     nn_s = row(6) * col(6) + row(7) * col(7) + row(8) * col(8)
     nn_t = row(9) * col(9) + row(10) * col(10) + row(11) * col(11)

@@ -156,7 +156,10 @@ def estimate_pose_via_completion(
 
         def composite(fv, mask, data):
             nrm = (1.0 - mask) * fv[..., 3:6] + mask * data["norm"]
-            nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + _EPS)
+            # grad-safe normalization (zero vectors occur at invalid
+            # pixels; linalg.norm backward is NaN at 0)
+            nrm = nrm / jnp.sqrt(
+                jnp.sum(nrm * nrm, -1, keepdims=True) + _EPS)
             depth = (1.0 - mask[..., 0]) * fv[..., 6] \
                 + mask[..., 0] * data["depth"]
             rgb = mask * data["rgb"] * 255.0

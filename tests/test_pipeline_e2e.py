@@ -182,6 +182,45 @@ class TestEndToEnd:
         np.testing.assert_allclose(T1, T2, atol=2e-3)
 
     @pytest.mark.slow
+    def test_pipeline_backward_is_finite(self):
+        """The whole complete->match->solve pipeline must produce FINITE
+        gradients w.r.t. the completion net (pose-loss fine-tuning,
+        train/finetune_pose.py).  Regression: sqrt(0)/arccos(1)/Jacobi
+        theta-overflow backwards used to NaN every gradient."""
+        from relativepose_tpu.eval import harness
+        from relativepose_tpu.models import SCNet
+        from relativepose_tpu.train import finetune_pose
+
+        cfg = PipelineConfig(
+            alter_steps=2, remat=True,
+            keypoints=KeypointConfig(n_detect=64, n_match=8, n_random=8),
+            solver=SolverStaticConfig(power_iters=5, pallas_w_build=False))
+        hp = harness.hyper_params_from_table(
+            harness.default_sigma_table("suncg")[:2], alter_steps=2)
+        ft = finetune_pose.PoseFinetuneConfig(ngf=8)
+        step = jax.jit(finetune_pose.make_finetune_step(cfg, hp, ft))
+        net = SCNet(ngf=8)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((2, 160, 640, 16)))["params"]
+        import optax  # noqa: F401
+        tx = finetune_pose.make_optimizer(ft)
+        state = {"params": params, "anchor_params": params,
+                 "opt_state": tx.init(params), "step": 0}
+        pairs = [synthetic.make_pair(i, "suncg", max_baseline=0.4)
+                 for i in range(2)]
+        data_s = jax.tree.map(lambda *x: jnp.stack(x),
+                              *[to_jax(p[0]) for p in pairs])
+        data_t = jax.tree.map(lambda *x: jnp.stack(x),
+                              *[to_jax(p[1]) for p in pairs])
+        T_gt = jnp.asarray(np.stack([p[2] for p in pairs]).astype(
+            np.float32))
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        state, m = step(state, data_s, data_t, T_gt, keys)
+        m = {k: float(v) for k, v in m.items()}
+        assert np.isfinite(m["loss"]) and np.isfinite(m["grad_norm"]), m
+        assert m["grad_norm"] > 0, m
+
+    @pytest.mark.slow
     def test_scan_flops_accounting(self):
         """XLA cost analysis counts a lax.scan body ONCE regardless of trip
         count; bench.py multiplies by alter_steps to compensate.  Verify
