@@ -91,12 +91,15 @@ def main():
     rows.append(run("ours (GT oracle completion)",
                     base + ["--method", "ours", "--exp", "res_oracle"]))
     if args.classical:
+        # no --rm: classical rows RESUME tmp/rpe/res_<m> so a standalone
+        # (CPU-side) run of the same protocol is reused, not recomputed
+        base_resume = [a for a in base if a != "--rm"]
         for m, tag in (("super4pcs", "super4pcs (4PCS, host C++)"),
                        ("gs", "gs (FPFH+RANSAC, host C++)"),
                        ("fgs", "fgs (fast global reg., host C++)"),
                        ("cgs", "cgs (colored ICP, host C++)")):
-            rows.append(run(tag, base + ["--method", m, "--exp",
-                                         f"res_{m}"]))
+            rows.append(run(tag, base_resume + ["--method", m, "--exp",
+                                                f"res_{m}"]))
 
     def fmt(v):
         return "-" if v is None else f"{v:.2f}"
