@@ -130,8 +130,10 @@ def main():
             batch_pairs=args.batch_pairs, resume=False)
         eval_fn_jit = jax.jit(harness.make_batched_eval_fn(
             make_factory(combo), cfg, pipe_cfg))
+        # the scalar-default sigma rows, matching cli.evaluate's no---para
+        # behavior so rows are comparable with RESULTS.md
         hp = harness.hyper_params_from_table(
-            harness.default_sigma_table(args.family),
+            np.tile([0.2615, 0.2615, 0.04, 0.01], (3, 1)),
             alter_steps=pipe_cfg.alter_steps)
         params = {"g": g_params, "f": f_params}
 
