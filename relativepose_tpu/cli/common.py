@@ -46,6 +46,11 @@ def add_common_training_args(p: argparse.ArgumentParser):
                         "far from the observed boundary equally)")
     p.add_argument("--fcScale", type=float, default=1.0,
                    help="feature-consistency loss multiplier")
+    p.add_argument("--fcTarget", type=str, default="netf",
+                   choices=["netf", "photometric"],
+                   help="'f'-head regression target: frozen netF (the "
+                        "reference design) or procedural photo-consistent "
+                        "descriptors (see train/completion.py)")
     p.add_argument("--wDepth", type=float, default=1.0,
                    help="depth-reconstruction L1 multiplier (completed "
                         "depth feeds the solver's 0.08 m pairwise-distance "

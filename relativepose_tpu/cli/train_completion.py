@@ -66,7 +66,7 @@ def main(argv=None):
         pn_loss=bool(args.pnloss), margin=args.D,
         hard_negatives=bool(args.hardNegatives),
         fc_weight_mode=args.fcWeightMode, fc_scale=args.fcScale,
-        w_depth=args.wDepth,
+        fc_target=args.fcTarget, w_depth=args.wDepth,
         ngf=args.ngf, base_width=args.base_width,
         feat_frozen_bn=bool(args.torch_feat_ckpt),
         dtype=jnp.bfloat16 if args.bf16 else None)

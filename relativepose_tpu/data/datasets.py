@@ -179,11 +179,12 @@ class SyntheticPairs:
             return None
         # 'v2' = the completion-learnable texture (synthetic.py docstring);
         # v1 cache files are never reused.
+        from relativepose_tpu.data.synthetic import TEXTURE_VERSION
         tag = "_vj" if self.view_detail_jitter else ""
         return os.path.join(
             self.cache_dir,
             f"{self.dataset}_{self.seed + index}_{self.max_baseline:g}"
-            f"_v2{tag}.npz")
+            f"_v{TEXTURE_VERSION}{tag}.npz")
 
     def __getitem__(self, index: int) -> dict:
         if index in self._cache:

@@ -85,32 +85,51 @@ def _smooth_noise(p_world, seed, freq: float = 0.6):
 _SURF_SHADE = np.array([0.95, 0.80, 0.55, 1.15, 0.70, 1.05])
 
 
-def _texture(p_world, room: Room, surface=None, detail_seed=None):
-    """v2 completion-learnable texture (see module docstring).
+TEXTURE_VERSION = 3
 
-    surface: integer array (axis*2 + (sign>0)) of the surface each point
-    lies on; None falls back to a neutral base (legacy callers).
-    detail_seed: seed of the FINE hash-detail layer only; default is the
-    scene seed (consistent across views).  Rendering each view of a pair
-    with a different detail_seed decorrelates the fine texture across
-    views — a training augmentation (like sensor noise / lighting change
-    in real scans) that forces contrastively-trained descriptors onto
-    cross-view-stable cues (geometry, surface shade, low-freq field),
-    which are exactly the cues a completion net can hallucinate.  Round-3
-    diagnosis (docs/TRAINING.md): descriptors keyed on the fine layer are
-    unpredictable far from the observed boundary, capping completed-
-    feature ranking at 0.036 vs the ~0.022 usability threshold."""
+
+def _texture(p_world, room: Room, surface=None, detail_seed=None,
+             lowfreq_seed=None):
+    """v3 completion-learnable texture (see module docstring).
+
+    Layers, by cross-view consistency and predictability-at-range:
+      * base color x per-surface shade — scene-level, predictable;
+      * POSITION RAMP (v3): an rgb ramp linear in normalized world
+        position p / (2*half_extent).  Deterministic given the room
+        GEOMETRY alone, so a completion net that hallucinates geometry
+        can predict it exactly — and it is globally localizing (every
+        point of a flat wall gets a unique color).  Round 4 measured why
+        this is needed: with only stochastic texture layers, netF
+        descriptors are perfectly cross-view matchable (ranking 0.0014)
+        but SCNet cannot predict them far from the observed boundary
+        (completed-feature ranking 0.05 vs the ~0.022 usability bound) —
+        the information simply is not in the observation.  Real indoor
+        scenes carry exactly this kind of predictable, localizing
+        structure (furniture, openings, trim); v3 restores it to the
+        synthetic family.
+      * low-frequency smooth noise — scene-level, correlated over
+        ~1.6 m: extrapolatable near the boundary only;
+      * fine hash detail — uncorrelated voxel noise (DoG corners).
+
+    detail_seed / lowfreq_seed override the fine / low-frequency layer
+    seeds; rendering the two views of a TRAINING pair with different
+    seeds decorrelates the stochastic layers across views, which forces
+    contrastively-trained descriptors onto the predictable cues above
+    (evaluation scenes keep scene-consistent seeds)."""
     rng = np.random.RandomState(room.seed * 977 + 11)
     scene_rgb = rng.uniform(0.3, 0.75, 3)
     if surface is None:
         base = np.broadcast_to(scene_rgb, p_world.shape[:-1] + (3,))
     else:
         base = scene_rgb[None, :] * _SURF_SHADE[surface][..., None]
-    low = _smooth_noise(p_world, room.seed + 2)
+    ramp = p_world / (2.0 * room.half_extent[None, :]) + 0.5  # [0,1]^3
+    low = _smooth_noise(
+        p_world, room.seed + 2 if lowfreq_seed is None else lowfreq_seed)
     fine = _hash_color(
         np.floor(p_world * room.tex_scale * 4).astype(np.int64),
         room.seed + 1 if detail_seed is None else detail_seed)
-    return np.clip(base + 0.30 * (low - 0.5) + 0.25 * (fine - 0.5), 0.0, 1.0)
+    return np.clip(base + 0.35 * (ramp - 0.5) + 0.22 * (low - 0.5)
+                   + 0.22 * (fine - 0.5), 0.0, 1.0)
 
 
 _WALL_SEMANTICS = {0: 1, 1: 2, 2: 1}  # axis -> class (wall/floor-ceiling)
@@ -131,7 +150,8 @@ def _ray_box(o, d, half):
     return t, axis, sign
 
 
-def render_pano(room: Room, R_wc, t_wc, dataset: str, detail_seed=None):
+def render_pano(room: Room, R_wc, t_wc, dataset: str, detail_seed=None,
+                lowfreq_seed=None):
     """Render a skybox pano from the world->camera pose (R_wc, t_wc).
 
     Returns dict(rgb [H, W, 3] BGR 0..1, depth [H, W], norm [H, W, 3]
@@ -166,7 +186,8 @@ def render_pano(room: Room, R_wc, t_wc, dataset: str, detail_seed=None):
         n_world = np.zeros_like(p_world)
         n_world[np.arange(len(axis)), axis] = -sign  # inward normal
         n_view = n_world @ R_wc.T  # R_wc @ n
-        c = _texture(p_world, room, 2 * axis + (sign > 0), detail_seed)
+        c = _texture(p_world, room, 2 * axis + (sign > 0), detail_seed,
+                     lowfreq_seed)
         block = slice(j * FACE, (j + 1) * FACE)
         rgb[:, block] = c.reshape(FACE, FACE, 3)
         depth[:, block] = t.reshape(FACE, FACE)  # ray param == face z
@@ -177,7 +198,8 @@ def render_pano(room: Room, R_wc, t_wc, dataset: str, detail_seed=None):
     return dict(rgb=rgb, depth=depth, norm=norm, segm=segm)
 
 
-def render_kinect_frame(room: Room, R_wc, t_wc, detail_seed=None):
+def render_kinect_frame(room: Room, R_wc, t_wc, detail_seed=None,
+                        lowfreq_seed=None):
     """Full-size 480x640 kinect frame (scannet's rgb_full/depth_full)."""
     h, w = config.KINECT_FULL_H, config.KINECT_FULL_W
     cam_center = -R_wc.T @ t_wc
@@ -189,7 +211,7 @@ def render_kinect_frame(room: Room, R_wc, t_wc, detail_seed=None):
     t, axis, sign = _ray_box(cam_center, d_world, room.half_extent)
     p_world = cam_center[None, :] + t[:, None] * d_world
     rgb = _texture(p_world, room, 2 * axis + (sign > 0),
-                   detail_seed).reshape(
+                   detail_seed, lowfreq_seed).reshape(
         h, w, 3).astype(np.float32)
     depth = t.reshape(h, w).astype(np.float32)
     return rgb, depth
@@ -236,14 +258,17 @@ def make_pair(seed: int, dataset: str = "suncg", max_baseline: float = 0.8,
 
     views = []
     for vi, P in enumerate(poses):
-        # per-view fine-detail seed (training augmentation, see _texture)
+        # per-view seeds for ALL stochastic texture layers (training
+        # augmentation, see _texture)
         dseed = (room.seed * 31 + 7919 * (vi + 1)) if view_detail_jitter \
             else None
-        v = render_pano(room, P[:3, :3], P[:3, 3], dataset, dseed)
+        lseed = (room.seed * 57 + 6037 * (vi + 1)) if view_detail_jitter \
+            else None
+        v = render_pano(room, P[:3, :3], P[:3, 3], dataset, dseed, lseed)
         v["pose"] = P
         if config.canonical_dataset(dataset) == "scannet":
-            rgb_full, depth_full = render_kinect_frame(room, P[:3, :3],
-                                                       P[:3, 3], dseed)
+            rgb_full, depth_full = render_kinect_frame(
+                room, P[:3, :3], P[:3, 3], dseed, lseed)
             v["rgb_full"] = rgb_full
             v["depth_full"] = depth_full
         views.append(v)

@@ -52,6 +52,17 @@ class CompletionTrainConfig:
     # pixel equally.  fc_scale multiplies the loss either way.
     fc_weight_mode: str = "geow"
     fc_scale: float = 1.0
+    # What the 'f' head regresses to.  'netf' = the reference design
+    # (frozen feature net on the complete pano,
+    # mainPanoCompletion2view.py:516-544).  'photometric' = the oracle's
+    # procedural photo-consistent descriptors of the complete rgb
+    # (pipeline/oracle.py) — round 4's hybrid diagnostic measured that
+    # even PERFECT prediction of the netF target fails wide-baseline
+    # matching (netf_gtgeo row) while photo-consistent descriptors with
+    # learned geometry nearly solve the 0-0.1 bucket (pdesc_lgeo row):
+    # the descriptor family, not the prediction, was the binding
+    # constraint.
+    fc_target: str = "netf"
     w_depth: float = 1.0          # depth-L1 multiplier (solver needs cm-
                                   # accurate hallucinated depth for its
                                   # pairwise filters, rpmodule.py:399-404)
@@ -161,9 +172,18 @@ def loss_fn(params_g, net_f_params, batch, key, cfg: CompletionTrainConfig):
     if cfg.feature_learning and "f" in sp:
         lo, hi = sp["f"]
         k1, k2, k3 = jax.random.split(key, 3)
-        fakec = net_f.apply(
-            {"params": jax.lax.stop_gradient(net_f_params)},
-            jnp.concatenate([a["complete4"][:2 * n]] * 2, axis=0))
+        if cfg.fc_target == "photometric":
+            from relativepose_tpu.pipeline.oracle import (
+                procedural_descriptors,
+            )
+            fakec = jax.vmap(
+                lambda rgb: procedural_descriptors(rgb, hi - lo))(
+                jnp.concatenate([a["complete4"][:2 * n, ..., 0:3]] * 2,
+                                axis=0))
+        else:
+            fakec = net_f.apply(
+                {"params": jax.lax.stop_gradient(net_f_params)},
+                jnp.concatenate([a["complete4"][:2 * n]] * 2, axis=0))
         fc_w = (a["geow4"] if cfg.fc_weight_mode == "geow"
                 else jnp.ones_like(a["geow4"]))
         loss_fc = cfg.fc_scale * losses.feature_consistency_loss(
