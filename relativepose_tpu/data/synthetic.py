@@ -17,18 +17,17 @@ Conventions match the reference exactly:
   * normals are stored in the view's camera frame;
   * rgb is BGR in [0, 1] (cv2.imread convention, datasets/SUNCG.py:289).
 
-Texture (v2) is designed so that scene *completion is learnable*, like the
-real datasets the reference trains on (SUNCG surfaces are flat-shaded with
-smooth lighting): each of the 6 room surfaces gets a scene-level base color
-modulated by a fixed per-surface shade (observing any surface reveals the
-scene color, so a completion net can predict the color of unobserved
-surfaces from geometry), plus a smooth low-frequency world-position field
-(spatially correlated, so extrapolation near the observed boundary is
-learnable) and a fine hashed voxel detail layer that gives the DoG
-detector corners and makes descriptors position-distinctive.  The v1
-texture was a pure hash field — spatially *uncorrelated*, which made
-completion of unobserved regions information-theoretically impossible and
-capped what a trained SCNet could ever contribute.
+Texture (v3) is designed so that scene *completion is learnable* AND
+completion-based *matching is solvable*, like the real datasets the
+reference trains on: a scene-level base color modulated by a fixed
+per-surface shade, a position ramp linear in normalized world coordinates
+(deterministic given the room geometry — see `_texture` for the round-4
+measurements that motivated it), a smooth low-frequency field
+(correlated over ~1.6 m), and a fine hashed voxel detail layer (DoG
+corners).  v1 was a pure hash field (completion information-theoretically
+impossible); v2 added the learnable base/low-freq layers but kept all
+*localizing* texture stochastic, which capped completed-descriptor
+matching regardless of training (docs/TRAINING.md round 4).
 """
 
 from __future__ import annotations
