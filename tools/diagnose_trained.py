@@ -59,9 +59,13 @@ def main():
     from relativepose_tpu.train.completion import CompletionTrainConfig
     from relativepose_tpu.utils.checkpoint import CheckpointManager
 
+    from relativepose_tpu import config as rp_config
     dtype = jnp.bfloat16 if args.bf16 else None
-    cfg = CompletionTrainConfig(dataset=args.family, ngf=args.ngf,
-                                base_width=args.base_width, dtype=dtype)
+    cfg = CompletionTrainConfig(
+        dataset=args.family,
+        mask_method="kinect" if args.family == "scannet" else "second",
+        snumclass=rp_config.NUM_CLASSES[args.family],
+        ngf=args.ngf, base_width=args.base_width, dtype=dtype)
     lay = cfg.layout
     f_lo, f_hi = lay.spans["f"]
 
