@@ -105,10 +105,14 @@ def main(argv=None):
         print(f"cached primitives for {len(by_level[0])} pairs x "
               f"{len(by_level)} levels")
 
+    # the exact-gradient path differentiates the solver: Pallas kernels
+    # have no autodiff rule, so the objective uses the XLA W build
+    solver_cfg = SolverStaticConfig(
+        pallas_w_build=args.tune_method != "grad", use_pallas=False)
     table = st.tune_per_level(
         by_level, rgt,
         fd=st.FDConfig(max_iter=args.max_iter, seed=args.seed),
-        cfg=SolverStaticConfig(), method=args.tune_method,
+        cfg=solver_cfg, method=args.tune_method,
         val_frac=args.val_frac, grad_steps=args.grad_steps,
         grad_lr=args.grad_lr)
     np.savetxt(args.out, table)
