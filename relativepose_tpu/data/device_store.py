@@ -47,9 +47,14 @@ def encode_item(item: dict) -> dict:
         np.uint16)
     enc_segm = lambda a: a.astype(np.uint8)
     enc_pose = lambda a: a.astype(np.float32)
-    return dict(rgb=both("rgb", enc_rgb), norm=both("norm", enc_norm),
-                depth=both("depth", enc_depth), segm=both("segm", enc_segm),
-                pose=both("pose", enc_pose))
+    out = dict(rgb=both("rgb", enc_rgb), norm=both("norm", enc_norm),
+               depth=both("depth", enc_depth), segm=both("segm", enc_segm),
+               pose=both("pose", enc_pose))
+    if "rgb_full" in item["data_s"]:
+        # scannet: the 480x640 kinect frame drives keypoint detection
+        # (rputil.py:257-279); ~0.9 MB/view uint8
+        out["rgb_full"] = both("rgb_full", enc_rgb)
+    return out
 
 
 class DeviceStore:
@@ -63,9 +68,11 @@ class DeviceStore:
                  device=None):
         n = len(source) if n is None else min(n, len(source))
         t0 = time.time()
-        host = {k: [] for k in ("rgb", "norm", "depth", "segm", "pose")}
+        host = None
         for i in range(n):
             enc = encode_item(source[i])
+            if host is None:
+                host = {k: [] for k in enc}
             for k, v in enc.items():
                 host[k].append(v)
             if log and (i + 1) % 256 == 0:

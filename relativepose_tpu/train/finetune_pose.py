@@ -62,6 +62,11 @@ def gather_eval_pairs(arrays: dict, idx):
     pose = jnp.take(arrays["pose"], idx, axis=0)
     data_s = {"rgb": rgb[:, 0], "norm": norm[:, 0], "depth": depth[:, 0]}
     data_t = {"rgb": rgb[:, 1], "norm": norm[:, 1], "depth": depth[:, 1]}
+    if "rgb_full" in arrays:  # scannet detection frame
+        rgb_full = jnp.take(arrays["rgb_full"], idx, axis=0).astype(
+            jnp.float32) / 255.0
+        data_s["rgb_full"] = rgb_full[:, 0]
+        data_t["rgb_full"] = rgb_full[:, 1]
     T_gt = jnp.einsum("bij,bjk->bik", pose[:, 1],
                       jnp.linalg.inv(pose[:, 0]))
     return data_s, data_t, T_gt
