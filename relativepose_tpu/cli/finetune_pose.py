@@ -67,9 +67,12 @@ def main(argv=None):
     logf = FileLogger(dirs.log_path)
     family = args.synthetic_family
 
+    from relativepose_tpu import config as rp_config
     from relativepose_tpu.match.solver import SolverStaticConfig
     pipe_cfg = PipelineConfig(
         dataset=family, alter_steps=args.alter_steps, completion=True,
+        mask_method="kinect" if family == "scannet" else "second",
+        snumclass=rp_config.NUM_CLASSES[family],
         keypoints=KeypointConfig(), remat=True,
         # Pallas kernels have no autodiff rule — the differentiable path
         # must use the XLA W build / power iteration
