@@ -47,7 +47,8 @@ def reference_baseline():
     return _FALLBACK_PAIRS_PER_SEC, "estimate"
 
 
-def build_bench(batch_pairs: int, alter_steps: int):
+def build_bench(batch_pairs: int, alter_steps: int,
+                internal_size=(224, 224)):
     from relativepose_tpu.data import synthetic
     from relativepose_tpu.match.keypoints import KeypointConfig
     from relativepose_tpu.match.solver import (
@@ -67,7 +68,8 @@ def build_bench(batch_pairs: int, alter_steps: int):
         solver=SolverStaticConfig(power_iters=30),
     )
     net = SCNet(output_type=cfg.output_type, snumclass=cfg.snumclass,
-                feature_dim=cfg.feature_dim, dtype=jnp.bfloat16)
+                feature_dim=cfg.feature_dim,
+                internal_size=tuple(internal_size), dtype=jnp.bfloat16)
     params = net.init(jax.random.PRNGKey(0),
                       jnp.zeros((2, 160, 640, 16)))["params"]
 
@@ -102,9 +104,16 @@ def main():
     ap.add_argument("--alter_steps", type=int, default=3)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--check_accuracy", action="store_true")
+    ap.add_argument("--internal_size", type=str, default="224x224",
+                    help="SCNet internal resolution HxW (perf knob)")
+    ap.add_argument("--profile_dir", type=str, default=None,
+                    help="write a jax profiler trace of the timed "
+                         "iterations to this directory")
     args = ap.parse_args()
 
-    fn, fargs, T_gts = build_bench(args.batch_pairs, args.alter_steps)
+    hw = tuple(int(v) for v in args.internal_size.replace("x", ",")
+               .split(","))
+    fn, fargs, T_gts = build_bench(args.batch_pairs, args.alter_steps, hw)
 
     # XLA's flop count for the whole compiled pipeline (per call).  The
     # recurrence is a lax.scan, and HLO cost analysis counts the while-loop
@@ -135,11 +144,15 @@ def main():
     # Steady-state throughput: enqueue all iterations back-to-back, sync
     # once on the last output.  Per-call block_until_ready would measure
     # dispatch only; per-call device_get would measure tunnel latency.
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = fn(*fargs)
     sync(out)
     dt = (time.perf_counter() - t0) / args.iters
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     pairs_per_sec = args.batch_pairs / dt
 
     if args.check_accuracy:

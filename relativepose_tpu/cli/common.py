@@ -8,6 +8,12 @@ import argparse
 from relativepose_tpu import config
 
 
+def synthetic_scene_kwargs(args) -> dict:
+    """v4 scene knobs -> SyntheticPairs kwargs (absent flags = v3)."""
+    return dict(ramp_weight=getattr(args, "ramp_weight", 0.35),
+                n_clutter=getattr(args, "n_clutter", 0))
+
+
 def add_common_training_args(p: argparse.ArgumentParser):
     p.add_argument("--exp", type=str, required=False, default="dev",
                    help="experiment name (experiments/exp_<name>)")
@@ -32,6 +38,14 @@ def add_common_training_args(p: argparse.ArgumentParser):
     p.add_argument("--hardNegatives", type=int, default=1,
                    help="mine hardest contrastive negatives (0 = the "
                         "reference's uniform-random negatives)")
+    p.add_argument("--ramp_weight", type=float, default=0.35,
+                   help="synthetic v4 scene knob: position-ramp texture "
+                        "coefficient (0.35 = v3 scenes, 0 = no globally "
+                        "localizing paint; data/synthetic.py::_texture)")
+    p.add_argument("--n_clutter", type=int, default=0,
+                   help="synthetic v4 scene knob: interior occluders per "
+                        "room (boxes/cylinders -> occlusion + normals off "
+                        "the axis lattice)")
     p.add_argument("--view_detail_jitter", type=int, default=0,
                    help="synthetic-data augmentation: render each view of "
                         "a pair with a different fine-texture seed so "
@@ -62,11 +76,24 @@ def add_common_training_args(p: argparse.ArgumentParser):
                    help="bfloat16 compute for the conv nets")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--internal_size", type=str, default="224x224",
+                   help="SCNet internal working resolution HxW (the "
+                        "reference hardcodes 224, mymodel.py:261; smaller "
+                        "settings trade fidelity for throughput)")
     p.add_argument("--ngf", type=int, default=64,
                    help="SCNet width (shrink for CPU tests)")
     p.add_argument("--base_width", type=int, default=64,
                    help="ResNet stem width (shrink for CPU tests)")
     return p
+
+
+def parse_internal_size(s: str) -> tuple:
+    """'224x224' / '160,320' -> (224, 224) / (160, 320)."""
+    parts = s.replace("x", ",").split(",")
+    hw = tuple(int(p) for p in parts)
+    assert len(hw) == 2 and all(v % 32 == 0 and v >= 64 for v in hw), (
+        f"internal_size must be two multiples of 32 >= 64, got {s}")
+    return hw
 
 
 def resolve_dataset(args):

@@ -59,6 +59,20 @@ def _parse_args(argv=None):
     p.add_argument("--eval_seed", type=int, default=20_000,
                    help="synthetic eval scene seed (train=0, val=10000 "
                         "are reserved by the training CLIs)")
+    p.add_argument("--ramp_weight", type=float, default=0.35,
+                   help="v4 scene knob: position-ramp coefficient of the "
+                        "synthetic texture (0.35 = v3; 0 = no globally "
+                        "localizing paint)")
+    p.add_argument("--n_clutter", type=int, default=0,
+                   help="v4 scene knob: interior occluders per room")
+    p.add_argument("--per_step_errors", type=int, default=0,
+                   help="also record the pose error after each recurrence "
+                        "step (rot_step_i / trans_step_i columns)")
+    p.add_argument("--step_select", type=str, default="last",
+                   choices=["last", "best_score"],
+                   help="'last' = reference semantics; 'best_score' "
+                        "returns the recurrence step with the highest "
+                        "solver inlier rate (round-5 alternation triage)")
     p.add_argument("--n_detect", type=int, default=None,
                    help="detector keypoint capacity per view "
                         "(default: KeypointConfig.n_detect)")
@@ -66,6 +80,9 @@ def _parse_args(argv=None):
                    help="DoG response threshold on 0..255 luma")
     p.add_argument("--ngf", type=int, default=64,
                    help="SCNet width (must match the checkpoint)")
+    p.add_argument("--internal_size", type=str, default="224x224",
+                   help="SCNet internal resolution HxW (must match the "
+                        "checkpoint; VERDICT r4 #6 throughput knob)")
     p.add_argument("--bf16", type=int, default=1)
     # reference model-shape flags (evaluation.py:62-65)
     p.add_argument("--skipLayer", type=int, default=1,
@@ -128,8 +145,11 @@ def scnet_fn_factory_from_checkpoint(args, layout: ChannelLayout):
         # they would be re-uploaded over the tunnel EVERY call (measured
         # 4.1 s vs 34 ms per SCNet forward).  Pin them in HBM once.
         params = jax.device_put(params)
+        from relativepose_tpu.cli.common import parse_internal_size
         net = SCNet(output_type=args.outputType, snumclass=args.snumclass,
                     feature_dim=args.featureDim, ngf=args.ngf,
+                    internal_size=parse_internal_size(
+                        getattr(args, "internal_size", "224x224")),
                     batchnorm=bool(args.batchnorm),
                     skip_layer=bool(args.skipLayer),
                     use_tanh=bool(args.useTanh),
@@ -161,14 +181,26 @@ def main(argv=None):
         dataset=args.family, method=args.method, exp=args.exp,
         max_iter=args.maxIter, num_repeat=args.num_repeat,
         batch_pairs=args.batch_pairs, resume=not args.rm,
-        sigma_table=sigma_table)
+        sigma_table=sigma_table,
+        per_step_errors=bool(args.per_step_errors))
 
     if args.method in harness.CLASSICAL_METHODS:
         if args.force_cpu:
             # the classical methods are host C++; keeping the bookkeeping
             # ops (parse/overlap) off the TPU avoids per-pair tunnel
-            # dispatch latency dominating the run
-            jax.config.update("jax_platforms", "cpu")
+            # dispatch latency dominating the run.  The platform switch
+            # only takes effect if no backend is initialized yet (ADVICE
+            # r4: in-process callers that already ran TPU rows get a
+            # silent no-op) — detect and warn so multi-row drivers run
+            # classical rows in a subprocess instead.
+            import jax.extend.backend as _jeb
+            already = _jeb.backends() if hasattr(_jeb, "backends") else None
+            if already:
+                print("warning: JAX backend already initialized; "
+                      "--force_cpu has no effect in this process (run "
+                      "classical rows in a fresh process)")
+            else:
+                jax.config.update("jax_platforms", "cpu")
         from relativepose_tpu.eval import baselines
         runner = baselines.run_classical_eval(args, cfg)
         print(json.dumps(runner.summary()))
@@ -178,6 +210,7 @@ def main(argv=None):
         dataset=args.family, mask_method=args.maskMethod,
         alter_steps=cfg.alter_steps, completion=cfg.completion,
         output_type=args.outputType, snumclass=args.snumclass,
+        step_select=args.step_select,
         feature_dim=args.featureDim, keypoints=KeypointConfig(
             **{k: v for k, v in (("n_detect", args.n_detect),
                                  ("dog_threshold", args.dog_threshold))
@@ -200,7 +233,9 @@ def main(argv=None):
         # training scenes would overstate a trained checkpoint
         source = dsets.SyntheticPairs(args.family,
                                       n=min(args.maxIter, 1000),
-                                      seed=args.eval_seed)
+                                      seed=args.eval_seed,
+                                      ramp_weight=args.ramp_weight,
+                                      n_clutter=args.n_clutter)
     else:
         source = dsets.PanoPairDataset(
             args.family, "test", args.listPath,

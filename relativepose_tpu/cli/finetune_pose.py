@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--synthetic_family", type=str, default="suncg")
     p.add_argument("--synthetic_n", type=int, default=1024)
     p.add_argument("--view_detail_jitter", type=int, default=1)
+    p.add_argument("--ramp_weight", type=float, default=0.35,
+                   help="v4 scene knob (see cli.common)")
+    p.add_argument("--n_clutter", type=int, default=0)
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--batch_pairs", type=int, default=4)
     p.add_argument("--alter_steps", type=int, default=2,
@@ -96,7 +99,8 @@ def main(argv=None):
     from relativepose_tpu.data.device_store import DeviceStore
     src = dsets.SyntheticPairs(
         family, n=args.synthetic_n, seed=0,
-        view_detail_jitter=bool(args.view_detail_jitter))
+        view_detail_jitter=bool(args.view_detail_jitter),
+        ramp_weight=args.ramp_weight, n_clutter=args.n_clutter)
     store = DeviceStore(src, log=logf)
 
     @jax.jit

@@ -16,6 +16,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 
+from relativepose_tpu.cli import common
 from relativepose_tpu.cli.common import add_common_training_args, resolve_dataset
 from relativepose_tpu.cli.train_feature import make_loaders
 from relativepose_tpu.train import completion, mesh
@@ -68,6 +69,7 @@ def main(argv=None):
         fc_weight_mode=args.fcWeightMode, fc_scale=args.fcScale,
         fc_target=args.fcTarget, w_depth=args.wDepth,
         ngf=args.ngf, base_width=args.base_width,
+        internal_size=common.parse_internal_size(args.internal_size),
         feat_frozen_bn=bool(args.torch_feat_ckpt),
         dtype=jnp.bfloat16 if args.bf16 else None)
 

@@ -35,9 +35,11 @@ def make_source(args, split: str, dataset: str):
             n = getattr(args, "synthetic_n", None) or 2048
             if split != "train":
                 n = max(64, n // 8)
+        from relativepose_tpu.cli.common import synthetic_scene_kwargs
         return dsets.SyntheticPairs(
             dataset, n=n, seed=0 if split == "train" else 10_000,
-            view_detail_jitter=bool(getattr(args, "view_detail_jitter", 0)))
+            view_detail_jitter=bool(getattr(args, "view_detail_jitter", 0)),
+            **synthetic_scene_kwargs(args))
     return dsets.PanoPairDataset(dataset, split, args.listPath)
 
 
@@ -141,8 +143,10 @@ def make_loaders(args, dataset: str):
             DeviceStore,
             ResidentLoader,
         )
-        tr_store = DeviceStore(train_src, log=print)
-        va_store = DeviceStore(val_src, log=print)
+        # training steps never read the scannet full frames; keep them out
+        # of HBM (they double a 2048-pair scannet store's footprint)
+        tr_store = DeviceStore(train_src, log=print, with_full_frames=False)
+        va_store = DeviceStore(val_src, log=print, with_full_frames=False)
         return (ResidentLoader(tr_store, args.batch_size, dataset, seed=0),
                 ResidentLoader(va_store, args.batch_size, dataset, seed=1))
     return (batch_iterator(train_src, args, dataset, 0),

@@ -60,6 +60,11 @@ def main(argv=None):
     p.add_argument("--out", type=str, required=True,
                    help="output sigma table txt")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scene_seed", type=int, default=0,
+                   help="synthetic scene seed for the tuning pairs")
+    p.add_argument("--ramp_weight", type=float, default=0.35,
+                   help="v4 scene knob (see cli.common)")
+    p.add_argument("--n_clutter", type=int, default=0)
     args = p.parse_args(argv)
 
     family = (args.synthetic_family if "synthetic" in args.dataList
@@ -86,7 +91,9 @@ def main(argv=None):
         factory, scnet_params = scnet_fn_factory_from_checkpoint(
             args, pipe_cfg.layout)
         if "synthetic" in args.dataList:
-            source = dsets.SyntheticPairs(family, n=args.num_pairs)
+            source = dsets.SyntheticPairs(
+                family, n=args.num_pairs, seed=args.scene_seed,
+                ramp_weight=args.ramp_weight, n_clutter=args.n_clutter)
         else:
             source = dsets.PanoPairDataset(family, "train", args.listPath)
 

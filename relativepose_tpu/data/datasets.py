@@ -151,18 +151,23 @@ class SyntheticPairs:
     def __init__(self, dataset: str = "suncg", n: int = 100, seed: int = 0,
                  max_baseline: float = 0.8, cache_size: Optional[int] = None,
                  cache_dir: Optional[str] = None,
-                 view_detail_jitter: bool = False):
+                 view_detail_jitter: bool = False,
+                 ramp_weight: float = 0.35, n_clutter: int = 0):
         """cache_size None = cache every item in RAM (a 160x640 pair is
         ~3 MB; even 2048 pairs fit easily).  cache_dir, if set, persists
         rendered pairs as .npz so separate runs (feature training,
         completion training, eval) share one generated set.
         view_detail_jitter decorrelates the fine texture layer across the
-        two views (training augmentation; see synthetic._texture)."""
+        two views (training augmentation; see synthetic._texture).
+        ramp_weight / n_clutter are the v4 scene knobs (synthetic.make_pair);
+        defaults reproduce v3 scenes and reuse their cache files."""
         self.dataset = dataset
         self.n = n
         self.seed = seed
         self.max_baseline = max_baseline
         self.view_detail_jitter = view_detail_jitter
+        self.ramp_weight = ramp_weight
+        self.n_clutter = n_clutter
         self._cache = {}
         self._cache_size = n if cache_size is None else cache_size
         if cache_dir is None:
@@ -181,6 +186,10 @@ class SyntheticPairs:
         # v1 cache files are never reused.
         from relativepose_tpu.data.synthetic import TEXTURE_VERSION
         tag = "_vj" if self.view_detail_jitter else ""
+        if self.ramp_weight != 0.35:
+            tag += f"_rw{self.ramp_weight:g}"
+        if self.n_clutter:
+            tag += f"_cl{self.n_clutter}"
         return os.path.join(
             self.cache_dir,
             f"{self.dataset}_{self.seed + index}_{self.max_baseline:g}"
@@ -206,7 +215,8 @@ class SyntheticPairs:
             ds, dt, T_gt = synthetic.make_pair(
                 self.seed + index, self.dataset,
                 max_baseline=self.max_baseline,
-                view_detail_jitter=self.view_detail_jitter)
+                view_detail_jitter=self.view_detail_jitter,
+                ramp_weight=self.ramp_weight, n_clutter=self.n_clutter)
             item = dict(data_s=ds, data_t=dt, T_gt=T_gt.astype(np.float32),
                         Q=None, imgs_path=(f"synthetic/{index}/src",
                                            f"synthetic/{index}/tgt"))

@@ -31,8 +31,15 @@ from relativepose_tpu.data import pipeline as dpipe
 H, W = config.PANO_HEIGHT, config.PANO_WIDTH
 
 
-def encode_item(item: dict) -> dict:
-    """One pair -> compact host arrays (reference on-disk precision)."""
+def encode_item(item: dict, with_full_frames: bool = True) -> dict:
+    """One pair -> compact host arrays (reference on-disk precision).
+
+    with_full_frames=False drops the scannet 480x640 kinect frames: the
+    completion/feature TRAIN steps never read them (`gather_batch` uses
+    rgb/norm/depth/segm/pose only), and at 1.8 MB/pair they would double
+    the resident-store HBM footprint of a 2048-pair scannet campaign.
+    The pose-finetune driver needs them (keypoint detection runs on the
+    full frame, rputil.py:257-279) and keeps the default."""
 
     def both(f, enc):
         return np.stack([enc(np.asarray(item["data_s"][f])),
@@ -50,7 +57,7 @@ def encode_item(item: dict) -> dict:
     out = dict(rgb=both("rgb", enc_rgb), norm=both("norm", enc_norm),
                depth=both("depth", enc_depth), segm=both("segm", enc_segm),
                pose=both("pose", enc_pose))
-    if "rgb_full" in item["data_s"]:
+    if with_full_frames and "rgb_full" in item["data_s"]:
         # scannet: the 480x640 kinect frame drives keypoint detection
         # (rputil.py:257-279); ~0.9 MB/view uint8
         out["rgb_full"] = both("rgb_full", enc_rgb)
@@ -65,12 +72,12 @@ class DeviceStore:
     """
 
     def __init__(self, source, n: int | None = None, log=None,
-                 device=None):
+                 device=None, with_full_frames: bool = True):
         n = len(source) if n is None else min(n, len(source))
         t0 = time.time()
         host = None
         for i in range(n):
-            enc = encode_item(source[i])
+            enc = encode_item(source[i], with_full_frames)
             if host is None:
                 host = {k: [] for k in enc}
             for k, v in enc.items():

@@ -43,10 +43,33 @@ H, W = config.PANO_HEIGHT, config.PANO_WIDTH
 
 
 @dataclasses.dataclass
+class Occluder:
+    """Interior clutter object (v4): a yaw-rotated box or a vertical
+    cylinder.  Occluders break the empty-convex-room degeneracy flagged in
+    round 4: they occlude walls (completion must reason about visibility)
+    and — for rotated boxes / curved cylinder sides — contribute surface
+    normals off the 6-direction axis lattice, so the solver's three
+    angle-consistency filters (rpmodule.py:424-436) operate in a
+    non-degenerate regime."""
+
+    kind: str            # 'box' | 'cyl'
+    center: np.ndarray   # [3] world position
+    size: np.ndarray     # box: [3] local half extents; cyl: [r, half_h, r]
+    yaw: float = 0.0     # box: rotation about +y
+    shade: float = 1.0   # per-object brightness (like _SURF_SHADE)
+
+    def bound_radius(self) -> float:
+        return float(np.linalg.norm(self.size))
+
+
+@dataclasses.dataclass
 class Room:
     half_extent: np.ndarray  # [3] half sizes of the box room
     tex_scale: float = 2.5   # voxel texture frequency
     seed: int = 0
+    # v4 knobs (defaults reproduce v3 scenes bit-for-bit)
+    ramp_weight: float = 0.35       # position-ramp texture coefficient
+    clutter: tuple = ()             # tuple[Occluder, ...]
 
 
 def _hash_color(ip, seed):
@@ -88,7 +111,7 @@ TEXTURE_VERSION = 3
 
 
 def _texture(p_world, room: Room, surface=None, detail_seed=None,
-             lowfreq_seed=None):
+             lowfreq_seed=None, shade=None):
     """v3 completion-learnable texture (see module docstring).
 
     Layers, by cross-view consistency and predictability-at-range:
@@ -117,7 +140,9 @@ def _texture(p_world, room: Room, surface=None, detail_seed=None,
     (evaluation scenes keep scene-consistent seeds)."""
     rng = np.random.RandomState(room.seed * 977 + 11)
     scene_rgb = rng.uniform(0.3, 0.75, 3)
-    if surface is None:
+    if shade is not None:  # explicit per-point brightness (v4 trace path)
+        base = scene_rgb[None, :] * np.asarray(shade)[..., None]
+    elif surface is None:
         base = np.broadcast_to(scene_rgb, p_world.shape[:-1] + (3,))
     else:
         base = scene_rgb[None, :] * _SURF_SHADE[surface][..., None]
@@ -127,8 +152,8 @@ def _texture(p_world, room: Room, surface=None, detail_seed=None,
     fine = _hash_color(
         np.floor(p_world * room.tex_scale * 4).astype(np.int64),
         room.seed + 1 if detail_seed is None else detail_seed)
-    return np.clip(base + 0.35 * (ramp - 0.5) + 0.22 * (low - 0.5)
-                   + 0.22 * (fine - 0.5), 0.0, 1.0)
+    return np.clip(base + room.ramp_weight * (ramp - 0.5)
+                   + 0.22 * (low - 0.5) + 0.22 * (fine - 0.5), 0.0, 1.0)
 
 
 _WALL_SEMANTICS = {0: 1, 1: 2, 2: 1}  # axis -> class (wall/floor-ceiling)
@@ -147,6 +172,87 @@ def _ray_box(o, d, half):
     t = t_exit_per_axis[np.arange(len(axis)), axis]
     sign = np.sign(d[np.arange(len(axis)), axis])
     return t, axis, sign
+
+
+def _yaw_mat(yaw: float) -> np.ndarray:
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+
+
+def _ray_occluder(o, d, obj: Occluder):
+    """First entry hit of rays (o [3], d [N, 3]) with an occluder seen from
+    OUTSIDE.  Returns (t [N] — np.inf on miss, n_world [N, 3])."""
+    n_rays = d.shape[0]
+    if obj.kind == "box":
+        Rm = _yaw_mat(obj.yaw)
+        o_l = Rm.T @ (o - obj.center)
+        d_l = d @ Rm  # row-vectors: (Rm.T @ d_i)^T
+        d_safe = np.where(np.abs(d_l) < 1e-12, 1e-12, d_l)
+        t0 = (-obj.size[None, :] - o_l[None, :]) / d_safe
+        t1 = (obj.size[None, :] - o_l[None, :]) / d_safe
+        tn = np.minimum(t0, t1)
+        tf = np.maximum(t0, t1)
+        axis = np.argmax(tn, axis=1)
+        t_entry = tn[np.arange(n_rays), axis]
+        t_far = np.min(tf, axis=1)
+        hit = (t_far >= t_entry) & (t_entry > 1e-6)
+        n_l = np.zeros((n_rays, 3))
+        n_l[np.arange(n_rays), axis] = -np.sign(
+            d_l[np.arange(n_rays), axis])
+        return np.where(hit, t_entry, np.inf), n_l @ Rm.T
+    # vertical cylinder: curved side + flat caps
+    r, hh = obj.size[0], obj.size[1]
+    o_l = o - obj.center
+    a = d[:, 0] ** 2 + d[:, 2] ** 2
+    b = 2.0 * (o_l[0] * d[:, 0] + o_l[2] * d[:, 2])
+    c = o_l[0] ** 2 + o_l[2] ** 2 - r * r
+    disc = b * b - 4.0 * a * c
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t_side = (-b - sq) / np.maximum(2.0 * a, 1e-12)
+    y_side = o_l[1] + t_side * d[:, 1]
+    side_ok = (disc > 0) & (t_side > 1e-6) & (np.abs(y_side) <= hh)
+    dy = np.where(np.abs(d[:, 1]) < 1e-12, 1e-12, d[:, 1])
+    t_cap = (np.where(d[:, 1] > 0, -hh, hh) - o_l[1]) / dy  # near cap
+    cx = o_l[0] + t_cap * d[:, 0]
+    cz = o_l[2] + t_cap * d[:, 2]
+    cap_ok = (t_cap > 1e-6) & (cx * cx + cz * cz <= r * r)
+    t_s = np.where(side_ok, t_side, np.inf)
+    t_c = np.where(cap_ok, t_cap, np.inf)
+    use_cap = t_c < t_s
+    t = np.where(use_cap, t_c, t_s)
+    # radial side normal at the hit point (bounded t: missed rays carry
+    # t=inf and their normals are never consumed)
+    p = o_l[None, :] + np.where(np.isfinite(t), t, 0.0)[:, None] * d
+    n_side = np.stack([p[:, 0], np.zeros(n_rays), p[:, 2]], -1)
+    n_side = n_side / np.maximum(
+        np.linalg.norm(n_side, axis=-1, keepdims=True), 1e-12)
+    n_cap = np.zeros((n_rays, 3))
+    n_cap[:, 1] = -np.sign(d[:, 1])
+    return t, np.where(use_cap[:, None], n_cap, n_side)
+
+
+# semantic classes: 1/2 walls+floor (v3), 3 box furniture, 4 cylinders
+_CLUTTER_SEMANTICS = {"box": 3, "cyl": 4}
+
+
+def _trace_scene(cam, d_world, room: Room):
+    """Nearest surface along each ray: room walls + all clutter.
+
+    Returns (t [N], n_world [N, 3], shade [N], segm [N])."""
+    t, axis, sign = _ray_box(cam, d_world, room.half_extent)
+    n_rays = d_world.shape[0]
+    n_world = np.zeros((n_rays, 3))
+    n_world[np.arange(n_rays), axis] = -sign
+    shade = _SURF_SHADE[2 * axis + (sign > 0)]
+    segm = np.array([_WALL_SEMANTICS[a] for a in axis], np.int32)
+    for obj in room.clutter:
+        t_o, n_o = _ray_occluder(cam, d_world, obj)
+        closer = t_o < t
+        t = np.where(closer, t_o, t)
+        n_world = np.where(closer[:, None], n_o, n_world)
+        shade = np.where(closer, obj.shade, shade)
+        segm = np.where(closer, _CLUTTER_SEMANTICS[obj.kind], segm)
+    return t, n_world, shade, segm
 
 
 def render_pano(room: Room, R_wc, t_wc, dataset: str, detail_seed=None,
@@ -180,20 +286,16 @@ def render_pano(room: Room, R_wc, t_wc, dataset: str, detail_seed=None,
     for j in range(4):
         d_view = dirs_face @ rots[j].T
         d_world = d_view @ R_wc  # R_wc^T @ d
-        t, axis, sign = _ray_box(cam_center, d_world, room.half_extent)
+        t, n_world, shade, seg = _trace_scene(cam_center, d_world, room)
         p_world = cam_center[None, :] + t[:, None] * d_world
-        n_world = np.zeros_like(p_world)
-        n_world[np.arange(len(axis)), axis] = -sign  # inward normal
         n_view = n_world @ R_wc.T  # R_wc @ n
-        c = _texture(p_world, room, 2 * axis + (sign > 0), detail_seed,
-                     lowfreq_seed)
+        c = _texture(p_world, room, None, detail_seed, lowfreq_seed,
+                     shade=shade)
         block = slice(j * FACE, (j + 1) * FACE)
         rgb[:, block] = c.reshape(FACE, FACE, 3)
         depth[:, block] = t.reshape(FACE, FACE)  # ray param == face z
         norm[:, block] = n_view.reshape(FACE, FACE, 3)
-        segm[:, block] = np.array(
-            [_WALL_SEMANTICS[a] for a in axis], np.int32
-        ).reshape(FACE, FACE)
+        segm[:, block] = seg.reshape(FACE, FACE)
     return dict(rgb=rgb, depth=depth, norm=norm, segm=segm)
 
 
@@ -207,11 +309,10 @@ def render_kinect_frame(room: Room, R_wc, t_wc, detail_seed=None,
     ndc_y = (0.5 - ys / h) * 2.0 / config.KINECT_FY_DIV
     dirs = np.stack([ndc_x, ndc_y, -np.ones_like(ndc_x)], -1).reshape(-1, 3)
     d_world = dirs @ R_wc
-    t, axis, sign = _ray_box(cam_center, d_world, room.half_extent)
+    t, _, shade, _ = _trace_scene(cam_center, d_world, room)
     p_world = cam_center[None, :] + t[:, None] * d_world
-    rgb = _texture(p_world, room, 2 * axis + (sign > 0),
-                   detail_seed, lowfreq_seed).reshape(
-        h, w, 3).astype(np.float32)
+    rgb = _texture(p_world, room, None, detail_seed, lowfreq_seed,
+                   shade=shade).reshape(h, w, 3).astype(np.float32)
     depth = t.reshape(h, w).astype(np.float32)
     return rgb, depth
 
@@ -226,17 +327,60 @@ def _yaw_pitch_rot(rng, max_pitch=0.15):
     return (Ry @ Rx).astype(np.float64)
 
 
+def _make_clutter(rng, room: Room, cam_centers, n_clutter: int) -> tuple:
+    """Sample interior occluders that contain neither camera.
+
+    Objects rest on the floor; boxes get a random yaw, cylinders a random
+    radius/height.  A placement is rejected when a camera center is within
+    the object's bounding sphere + 0.25 m (the camera must not be inside
+    or nearly touching furniture)."""
+    objs = []
+    hx, hy, hz = room.half_extent
+    for _ in range(n_clutter):
+        for _attempt in range(20):
+            kind = "box" if rng.rand() < 0.5 else "cyl"
+            if kind == "box":
+                size = rng.uniform(0.2, 0.55, 3)
+                size[1] = rng.uniform(0.35, min(1.0, 1.6 * hy))
+                yaw = rng.uniform(0.0, np.pi)
+            else:
+                r = rng.uniform(0.15, 0.4)
+                size = np.array([r, rng.uniform(0.35, min(0.9, 1.6 * hy)),
+                                 r])
+                yaw = 0.0
+            margin = float(np.max(size[[0, 2]])) + 0.05
+            center = np.array([
+                rng.uniform(-(hx - margin), hx - margin),
+                -hy + size[1],  # resting on the floor
+                rng.uniform(-(hz - margin), hz - margin)])
+            obj = Occluder(kind=kind, center=center, size=size, yaw=yaw,
+                           shade=rng.uniform(0.45, 1.25))
+            if all(np.linalg.norm(c - center) > obj.bound_radius() + 0.25
+                   for c in cam_centers):
+                objs.append(obj)
+                break
+    return tuple(objs)
+
+
 def make_pair(seed: int, dataset: str = "suncg", max_baseline: float = 0.8,
-              max_yaw: float = np.pi, view_detail_jitter: bool = False):
+              max_yaw: float = np.pi, view_detail_jitter: bool = False,
+              ramp_weight: float = 0.35, n_clutter: int = 0):
     """A synthetic pano pair + GT relative pose.
 
     Returns (data_s, data_t, T_gt [4,4]) where data_* have rgb/depth/norm/
     segm (+ rgb_full/depth_full for scannet) and 'pose' (world->cam 4x4);
     T_gt = pose_t @ inv(pose_s) maps src-camera points into the tgt camera
     frame (evaluation.py:173-176).
+
+    v4 knobs (defaults keep v3 scenes byte-identical): `ramp_weight`
+    scales the position-ramp texture layer (0.35 = v3; 0 = no globally
+    localizing paint), `n_clutter` adds that many interior occluders
+    (clutter uses an independent RNG stream so the room/poses/texture of
+    a given seed are unchanged by it).
     """
     rng = np.random.RandomState(seed)
-    room = Room(half_extent=rng.uniform(1.8, 3.2, 3), seed=seed)
+    room = Room(half_extent=rng.uniform(1.8, 3.2, 3), seed=seed,
+                ramp_weight=ramp_weight)
     room.half_extent[1] = rng.uniform(1.2, 1.6)  # ceiling height
 
     poses = []
@@ -254,6 +398,11 @@ def make_pair(seed: int, dataset: str = "suncg", max_baseline: float = 0.8,
     c1 = c0 + (c1 - c0) * min(1.0, max_baseline / (np.linalg.norm(c1 - c0)
                                                    + 1e-9))
     poses[1][:3, 3] = -poses[1][:3, :3] @ c1
+
+    if n_clutter > 0:
+        room.clutter = _make_clutter(
+            np.random.RandomState(seed * 131 + 17), room, [c0, c1],
+            n_clutter)
 
     views = []
     for vi, P in enumerate(poses):

@@ -92,8 +92,26 @@ def sift_ranking_ratio(rgb_s, rgb_t, idx_src, idx_tgt, valid, sample=100,
                 for c in np.asarray(idx_src[j])[sel]]
         kp_t = [cv2.KeyPoint(float(c[0]), float(c[1]), step_size)
                 for c in np.asarray(idx_tgt[j])[sel]]
-        _, d_s = sift.compute(gray_s, kp_s)
-        _, d_t = sift.compute(gray_t, kp_t)
+        # cv2 SIFT.compute FILTERS keypoints (e.g. runByImageBorder), so
+        # the returned rows can be a subset — keep only correspondence
+        # indices whose keypoints survived in BOTH views, matched by
+        # coordinates (ADVICE r4: mismatched rows silently mispair)
+        kp_s_out, d_s = sift.compute(gray_s, kp_s)
+        kp_t_out, d_t = sift.compute(gray_t, kp_t)
+
+        def surviving(kp_in, kp_out):
+            pos = {(round(k.pt[0], 2), round(k.pt[1], 2)): i
+                   for i, k in enumerate(kp_out)}
+            return {j_in: pos[key] for j_in, k in enumerate(kp_in)
+                    if (key := (round(k.pt[0], 2), round(k.pt[1], 2)))
+                    in pos}
+        live_s = surviving(kp_s, kp_s_out or [])
+        live_t = surviving(kp_t, kp_t_out or [])
+        both = sorted(set(live_s) & set(live_t))
+        if not both:
+            continue
+        d_s = d_s[[live_s[i] for i in both]]
+        d_t = d_t[[live_t[i] for i in both]]
         _, d_grid = sift.compute(gray_t, list(grid_kp))
         true_d2 = np.power(d_s - d_t, 2).sum(1)
         rest = np.power(d_s[:, None, :] - d_grid[None, :, :], 2).sum(2)

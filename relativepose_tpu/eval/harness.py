@@ -56,6 +56,7 @@ class EvalConfig:
     batch_pairs: int = 4
     resume: bool = True
     sigma_table: Optional[np.ndarray] = None  # [steps, 4] like --para files
+    per_step_errors: bool = False  # record rot/trans error after each step
 
     @property
     def alter_steps(self) -> int:
@@ -136,7 +137,13 @@ def parse_eval_data(depth, rgb, norm, dataset: str, method: str,
 
 
 def pose_errors(T_hat, T_gt, pc_src, src_valid):
-    """Rotation geodesic + translation error (evaluation.py:291-297)."""
+    """Rotation geodesic + translation error (evaluation.py:291-297).
+
+    err_t_blind reproduces the reference's quirk ||t_hat - t_gt||
+    (evaluation.py:297) — it depends on the evaluated method's own
+    prediction, so it is NOT an identity-pose baseline.  err_t_id is the
+    true identity-pose (R=I, t=0) translation error under the same err_t
+    formula: ||(I - R_gt) @ mean_pc - t_gt|| (ADVICE r4)."""
     R_hat, t_hat = T_hat[:3, :3], T_hat[:3, 3]
     R_gt, t_gt = T_gt[:3, :3], T_gt[:3, 3]
     err_ad = angular_distance(R_hat, R_gt)
@@ -145,8 +152,9 @@ def pose_errors(T_hat, T_gt, pc_src, src_valid):
     mean_pc = jnp.sum(pc_src * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)
     err_t = jnp.linalg.norm((R_hat - R_gt) @ mean_pc + t_hat - t_gt)
     err_t_blind = jnp.linalg.norm(t_hat - t_gt)
+    err_t_id = jnp.linalg.norm((jnp.eye(3) - R_gt) @ mean_pc - t_gt)
     return {"err_ad": err_ad, "err_blind": err_blind, "err_t": err_t,
-            "err_t_blind": err_t_blind}
+            "err_t_blind": err_t_blind, "err_t_id": err_t_id}
 
 
 def make_batched_eval_fn(scnet_fn_factory: Callable, cfg: EvalConfig,
@@ -162,8 +170,14 @@ def make_batched_eval_fn(scnet_fn_factory: Callable, cfg: EvalConfig,
 
     def one_pair(data_s, data_t, T_gt, key, params, hp):
         scnet_fn = scnet_fn_factory(data_s, data_t, params)
-        T_hat = estimate_pose_via_completion(
-            scnet_fn, data_s, data_t, key, hp, pipe_cfg)
+        step_ts = None
+        if cfg.per_step_errors:
+            T_hat, step_ts = estimate_pose_via_completion(
+                scnet_fn, data_s, data_t, key, hp, pipe_cfg,
+                return_step_poses=True)
+        else:
+            T_hat = estimate_pose_via_completion(
+                scnet_fn, data_s, data_t, key, hp, pipe_cfg)
         pc_s, val_s, _ = parse_eval_data(
             data_s["depth"], data_s["rgb"], data_s["norm"], cfg.dataset,
             cfg.method)
@@ -172,9 +186,15 @@ def make_batched_eval_fn(scnet_fn_factory: Callable, cfg: EvalConfig,
             cfg.method)
         ov = overlap_mod.point_cloud_overlap(pc_s, val_s, pc_t, val_t, T_gt)
         errs = pose_errors(T_hat, T_gt, pc_s, val_s)
-        return {"T_hat": T_hat, "overlap": ov["overlap"],
-                "cam_dist": ov["cam_dist"], "pc_dist": ov["pc_dist"],
-                "pc_nn": ov["pc_nn"], **errs}
+        out = {"T_hat": T_hat, "overlap": ov["overlap"],
+               "cam_dist": ov["cam_dist"], "pc_dist": ov["pc_dist"],
+               "pc_nn": ov["pc_nn"], **errs}
+        if step_ts is not None:
+            se = jax.vmap(lambda Ti: pose_errors(Ti, T_gt, pc_s, val_s))(
+                step_ts)
+            out["rot_steps"] = se["err_ad"]      # [alter_steps]
+            out["trans_steps"] = se["err_t"]
+        return out
 
     return jax.vmap(one_pair, in_axes=(0, 0, 0, 0, None, None))
 
@@ -196,6 +216,10 @@ class EvalRunner:
         # blind (identity-pose) baselines, evaluation.py:294-297
         self.blind_stats = {b: [] for b in OVERLAP_BUCKETS}
         self.t_blind_stats = {b: [] for b in OVERLAP_BUCKETS}
+        self.t_id_stats = {b: [] for b in OVERLAP_BUCKETS}
+        # per-recurrence-step errors (cfg.per_step_errors)
+        self.step_stats = {b: [] for b in OVERLAP_BUCKETS}
+        self.t_step_stats = {b: [] for b in OVERLAP_BUCKETS}
         if cfg.resume and os.path.exists(self.result_path):
             self.error_stats = list(
                 np.load(self.result_path, allow_pickle=True))
@@ -218,6 +242,11 @@ class EvalRunner:
             self.blind_stats[b].append(float(result["err_blind"]))
         if "err_t_blind" in result:
             self.t_blind_stats[b].append(float(result["err_t_blind"]))
+        if "err_t_id" in result:
+            self.t_id_stats[b].append(float(result["err_t_id"]))
+        if "rot_steps" in result:
+            self.step_stats[b].append(np.asarray(result["rot_steps"]))
+            self.t_step_stats[b].append(np.asarray(result["trans_steps"]))
 
     def record(self, result: dict):
         self._accumulate(result)
@@ -252,6 +281,13 @@ class EvalRunner:
             out[f"trans_blind_{b}"] = (
                 float(np.mean(self.t_blind_stats[b]))
                 if self.t_blind_stats[b] else None)
+            out[f"trans_id_{b}"] = (float(np.mean(self.t_id_stats[b]))
+                                    if self.t_id_stats[b] else None)
+            if self.step_stats[b]:
+                out[f"rot_steps_{b}"] = [
+                    float(v) for v in np.mean(self.step_stats[b], axis=0)]
+                out[f"trans_steps_{b}"] = [
+                    float(v) for v in np.mean(self.t_step_stats[b], axis=0)]
         if self.speed:
             out["sec_per_pair"] = float(np.mean(self.speed))
         if self.compile_s is not None:

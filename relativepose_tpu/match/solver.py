@@ -391,7 +391,8 @@ def fit_irls_sm(ps, pt, ns, nt, W, mu, cfg: SolverStaticConfig):
 # ---------------------------------------------------------------------------
 
 def estimate_relative_pose(data_s, data_t, hp: SolverHyperParams,
-                           cfg: Optional[SolverStaticConfig] = None):
+                           cfg: Optional[SolverStaticConfig] = None,
+                           return_score: bool = False):
     """Relative pose from two fixed-capacity keypoint sets.
 
     TPU-shaped equivalent of RelativePoseEstimation_helper
@@ -401,7 +402,12 @@ def estimate_relative_pose(data_s, data_t, hp: SolverHyperParams,
         'feat'   [K, F]  descriptors (UNSCALED; divided by 100 here)
         'weight' [K]     1.0 observed / 0.99 unobserved (rputil.py:229-235)
         'valid'  [K]     bool mask for real keypoints
-    Returns T [4, 4] (identity on any early-out).
+    Returns T [4, 4] (identity on any early-out); with
+    `return_score=True`, also an alignment-confidence scalar — the
+    affinity-weighted inlier rate of the top-K candidate correspondences
+    under the estimated pose (post-hoc ||R ps + t - pt|| < dist_thre).
+    The recurrent pipeline's optional best-step selection
+    (PipelineConfig.step_select) consumes it; 0 on early-out.
     """
     cfg = cfg or SolverStaticConfig()
     feat_s = data_s["feat"] / FEAT_SCALING
@@ -457,4 +463,9 @@ def estimate_relative_pose(data_s, data_t, hp: SolverHyperParams,
     T = jnp.eye(4)
     T = T.at[:3, :3].set(jnp.where(ok, R, jnp.eye(3)))
     T = T.at[:3, 3].set(jnp.where(ok, t, jnp.zeros(3)))
-    return T
+    if not return_score:
+        return T
+    res = jnp.linalg.norm(ps @ T[:3, :3].T + T[:3, 3] - pt, axis=-1)
+    cw = f * cvalid.astype(f.dtype)
+    inlier = jnp.sum(cw * (res < hp.dist_thre)) / (jnp.sum(cw) + 1e-12)
+    return T, jnp.where(ok, inlier, 0.0)

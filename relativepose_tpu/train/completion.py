@@ -71,6 +71,9 @@ class CompletionTrainConfig:
     b2: float = 0.999
     ngf: int = 64          # shrink for cheap tests
     base_width: int = 64
+    # SCNet internal working resolution (models/scnet.py:47); non-default
+    # settings trade completion fidelity for throughput (VERDICT r4 #6)
+    internal_size: tuple = (224, 224)
     # True when netF comes from a torch checkpoint with running-stats BN
     # (torch_import folds them into a frozen affine)
     feat_frozen_bn: bool = False
@@ -86,7 +89,8 @@ def build_models(cfg: CompletionTrainConfig):
     net_g = SCNet(output_type=cfg.output_type, snumclass=cfg.snumclass,
                   feature_dim=cfg.feature_dim, use_tanh=cfg.use_tanh,
                   skip_layer=cfg.skip_layer, batchnorm=cfg.batchnorm,
-                  ngf=cfg.ngf, dtype=cfg.dtype)
+                  ngf=cfg.ngf, internal_size=tuple(cfg.internal_size),
+                  dtype=cfg.dtype)
     net_f = Resnet18_8s(num_input=7, feature_dim=cfg.feature_dim,
                         use_tanh=cfg.use_tanh, base_width=cfg.base_width,
                         frozen_bn=cfg.feat_frozen_bn, dtype=cfg.dtype)

@@ -136,10 +136,11 @@ def grad_optimize(objective, sigma0, steps: int = 150, lr: float = 0.03,
     best = (np.exp(np.asarray(log_sig)),
             score(jnp.exp(log_sig)) if score else np.inf)
     history = []
-    for it in range(steps):
+    for it in range(steps + 1):
+        # value_and_grad evaluates AT log_sig: pair this loss with the
+        # CURRENT sigma (not the post-update one — ADVICE r4 off-by-one),
+        # and run one extra iteration so the final iterate is also scored.
         loss, g = value_and_grad(log_sig)
-        updates, opt_state = tx.update(g, opt_state)
-        log_sig = optax.apply_updates(log_sig, updates)
         sig = jnp.exp(log_sig)
         cur = score(sig) if score else float(loss)
         history.append((float(loss), cur, np.asarray(sig)))
@@ -149,8 +150,9 @@ def grad_optimize(objective, sigma0, steps: int = 150, lr: float = 0.03,
             log_fn(f"[grad] step {it + 1}: train {float(loss):.6f} "
                    f"{'val %.6f' % cur if score else ''} sigma "
                    f"{np.asarray(sig).round(4)}")
-    if best[1] is np.inf:  # no validation: last iterate
-        best = (np.asarray(jnp.exp(log_sig)), float(loss))
+        if it < steps:
+            updates, opt_state = tx.update(g, opt_state)
+            log_sig = optax.apply_updates(log_sig, updates)
     return best[0], history
 
 

@@ -39,12 +39,35 @@ def run(tag, argv):
     return s
 
 
+def run_subprocess(tag, argv):
+    """Run an eval row in a FRESH process.  Classical rows need this:
+    --force_cpu only takes effect before the first backend initialization
+    (ADVICE r4 — in-process it was a silent no-op after the TPU rows)."""
+    import subprocess
+    t0 = time.time()
+    cmd = [sys.executable, "-m", "relativepose_tpu.cli.evaluate"] + argv
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        print(f"[make_results] {tag} FAILED:\n{out.stdout[-2000:]}\n"
+              f"{out.stderr[-2000:]}", flush=True)
+        return {"tag": tag, "error": True}
+    s = json.loads(line[-1])
+    s["tag"] = tag
+    s["wall_s"] = round(time.time() - t0, 1)
+    print(f"[make_results] {tag}: {s}", flush=True)
+    return s
+
+
 def main():
     import relativepose_tpu
     relativepose_tpu.enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--comp_ckpt", type=str, required=True)
     p.add_argument("--maxIter", type=int, default=64)
+    p.add_argument("--num_repeat", type=int, default=1,
+                   help="protocol repeats per row (reference README.md:57 "
+                        "runs --num_repeat=10)")
     p.add_argument("--batch_pairs", type=int, default=8)
     p.add_argument("--family", type=str, default="suncg")
     p.add_argument("--ngf", type=int, default=64)
@@ -68,6 +91,7 @@ def main():
 
     base = ["--dataList", "synthetic", "--synthetic_family", args.family,
             "--maxIter", str(args.maxIter),
+            "--num_repeat", str(args.num_repeat),
             "--batch_pairs", str(args.batch_pairs), "--rm"]
     ck = ["--comp_ckpt", args.comp_ckpt, "--ngf", str(args.ngf)]
 
@@ -92,14 +116,18 @@ def main():
                     base + ["--method", "ours", "--exp", "res_oracle"]))
     if args.classical:
         # no --rm: classical rows RESUME tmp/rpe/res_<m> so a standalone
-        # (CPU-side) run of the same protocol is reused, not recomputed
+        # (CPU-side) run of the same protocol is reused, not recomputed.
+        # Each runs in a fresh subprocess so --force_cpu actually takes
+        # effect after the in-process TPU rows above (ADVICE r4).
         base_resume = [a for a in base if a != "--rm"]
         for m, tag in (("super4pcs", "super4pcs (4PCS, host C++)"),
                        ("gs", "gs (FPFH+RANSAC, host C++)"),
                        ("fgs", "fgs (fast global reg., host C++)"),
                        ("cgs", "cgs (colored ICP, host C++)")):
-            rows.append(run(tag, base_resume + ["--method", m, "--exp",
-                                                f"res_{m}"]))
+            rows.append(run_subprocess(
+                tag, base_resume + ["--method", m, "--exp",
+                                    f"res_{args.family}_{m}"]))
+        rows = [r for r in rows if not r.get("error")]
 
     def fmt(v):
         return "-" if v is None else f"{v:.2f}"
@@ -132,11 +160,15 @@ def main():
         cells += [fmt(r.get("sec_per_pair")), fmt(r.get("compile_s"))]
         lines.append(f"| {r['tag']} | " + " | ".join(cells) + " |")
     # blind (identity-prediction) baselines for context: every method row
-    # sees the same pairs, so one blind row suffices (evaluation.py:294-297)
+    # sees the same pairs, so one blind row suffices.  Translation uses
+    # err_t_id = ||(I - R_gt) @ mean_pc - t_gt|| — the TRUE identity-pose
+    # error under the err_t formula; the reference's err_t_blind =
+    # ||t_hat - t_gt|| (evaluation.py:297) depends on each method's own
+    # prediction and is not a baseline (ADVICE r4).
     blind = rows[0]
     lines.append("| blind (identity pose) | " + " | ".join(
         [fmt(blind.get(f"rot_blind_{b}")) for b in BUCKETS]
-        + [fmt(blind.get(f"trans_blind_{b}")) for b in BUCKETS]
+        + [fmt(blind.get(f"trans_id_{b}")) for b in BUCKETS]
         + ["-", "-"]) + " |")
     lines += [
         "",
@@ -145,7 +177,11 @@ def main():
         "SCNet output — the upper bound of the matching/solver stack.",
         "- 'blind' predicts the identity pose — any useful method must "
         "beat it (the reference prints err_blind per pair, "
-        "evaluation.py:294-297).",
+        "evaluation.py:294-297).  Its translation columns are the true "
+        "identity-pose error ||(I - R_gt)@mean_pc - t_gt||; the "
+        "reference's err_t_blind=||t_hat - t_gt|| depends on the "
+        "evaluated method's own prediction and is reported only in the "
+        "raw JSON (trans_blind_*).",
         "- sec/pair is steady-state device time (the first, compiling "
         "batch is excluded and reported in the 'compile s' column; the "
         "reference has no compile phase).  compile s reflects the state "
