@@ -73,6 +73,9 @@ def _parse_args(argv=None):
                    help="'last' = reference semantics; 'best_score' "
                         "returns the recurrence step with the highest "
                         "solver inlier rate (round-5 alternation triage)")
+    p.add_argument("--min_score", type=float, default=0.0,
+                   help="with best_score: identity pose when even the "
+                        "best step's inlier rate is below this")
     p.add_argument("--n_detect", type=int, default=None,
                    help="detector keypoint capacity per view "
                         "(default: KeypointConfig.n_detect)")
@@ -210,7 +213,7 @@ def main(argv=None):
         dataset=args.family, mask_method=args.maskMethod,
         alter_steps=cfg.alter_steps, completion=cfg.completion,
         output_type=args.outputType, snumclass=args.snumclass,
-        step_select=args.step_select,
+        step_select=args.step_select, min_score=args.min_score,
         feature_dim=args.featureDim, keypoints=KeypointConfig(
             **{k: v for k, v in (("n_detect", args.n_detect),
                                  ("dog_threshold", args.dog_threshold))

@@ -71,6 +71,11 @@ class PipelineConfig:
     # alternation helps only at extreme low overlap and can hurt
     # mid-overlap buckets (VERDICT r4 weak #3), and the solver knows.
     step_select: str = "last"
+    # with step_select='best_score': return identity when even the best
+    # step's inlier rate is below this — a confidence-gated extension of
+    # the reference's own <3-survivors identity early-outs
+    # (rpmodule.py:346-469).  0.0 disables the gate.
+    min_score: float = 0.0
 
     @property
     def layout(self) -> ChannelLayout:
@@ -202,10 +207,14 @@ def estimate_pose_via_completion(
         step_body = jax.checkpoint(step_body)
 
     def select(T_last, step_ts, scores):
-        if cfg.step_select == "last" or cfg.alter_steps == 1:
+        if cfg.step_select == "last":
             return T_last
         assert cfg.step_select == "best_score", cfg.step_select
-        return step_ts[jnp.argmax(scores)]
+        T_best = step_ts[jnp.argmax(scores)]
+        if cfg.min_score > 0.0:
+            T_best = jnp.where(jnp.max(scores) < cfg.min_score,
+                               jnp.eye(4), T_best)
+        return T_best
 
     if cfg.unroll:
         prims = []

@@ -119,7 +119,13 @@ def main():
         # (CPU-side) run of the same protocol is reused, not recomputed.
         # Each runs in a fresh subprocess so --force_cpu actually takes
         # effect after the in-process TPU rows above (ADVICE r4).
+        # Classical rows run ONE repeat regardless of --num_repeat: their
+        # stochasticity is internal to the C++ solvers (the harness's
+        # per-repeat keys only reseed the ours-family keypoint sampling)
+        # and super4pcs carries a 4-minute-per-pair worst case.
         base_resume = [a for a in base if a != "--rm"]
+        ri = base_resume.index("--num_repeat")
+        base_resume[ri + 1] = "1"
         for m, tag in (("super4pcs", "super4pcs (4PCS, host C++)"),
                        ("gs", "gs (FPFH+RANSAC, host C++)"),
                        ("fgs", "fgs (fast global reg., host C++)"),
