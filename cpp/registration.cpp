@@ -654,7 +654,7 @@ Mat4 fast_global_registration(const Cloud& s, const Cloud& t, double voxel) {
 // --------------------------------------------------------------------------
 Mat4 four_pcs(const std::vector<Vec3>& src, const std::vector<Vec3>& tgt,
               double delta, double time_budget_s, int n_sample,
-              std::mt19937* rng) {
+              std::mt19937* rng, double overlap_est = 0.5) {
   auto t_start = std::chrono::steady_clock::now();
   auto elapsed = [&]() {
     return std::chrono::duration<double>(
@@ -688,8 +688,24 @@ Mat4 four_pcs(const std::vector<Vec3>& src, const std::vector<Vec3>& tgt,
       if (qnn.nearest(xform(T, S[i]), delta * 2) >= 0) ++inl;
     return (double)inl;
   };
+  // Early exits: the real Super4PCS terminates when the LCP explains the
+  // expected overlap (its -o argument) rather than burning the whole
+  // time budget; without these every pair costs the full budget and a
+  // 256-pair campaign is intractable on one host core.
+  //   1. near-total LCP (95% of sampled points — conservative: symmetric
+  //      scenes can score an expected-overlap-level LCP with a flipped
+  //      pose, so the target must not depend on overlap_est alone);
+  //   2. stagnation: no LCP improvement for max(8 s, budget/8).
+  (void)overlap_est;
+  double max_lcp = 0;
+  for (size_t i = 0; i < S.size(); i += step) max_lcp += 1.0;
+  double lcp_target = 0.95 * max_lcp;
+  double stagnation_s = std::max(8.0, time_budget_s / 8.0);
+  double t_improve = 0.0;
 
   while (elapsed() < time_budget_s) {
+    if (best_lcp >= lcp_target) break;
+    if (best_lcp > 0 && elapsed() - t_improve > stagnation_s) break;
     // pick a wide coplanar-ish base a,b,c,d
     int ia = pick(*rng), ib = pick(*rng), ic = pick(*rng);
     if (ia == ib || ib == ic || ia == ic) continue;
@@ -754,6 +770,7 @@ Mat4 four_pcs(const std::vector<Vec3>& src, const std::vector<Vec3>& tgt,
       if (sc > best_lcp) {
         best_lcp = sc;
         best = T;
+        t_improve = elapsed();
       }
       if (elapsed() > time_budget_s) break;
     }
@@ -825,10 +842,9 @@ void rp_colored_registration(const double* src, const double* src_col,
 void rp_super4pcs(const double* src, int ns, const double* tgt, int nt,
                   double overlap, double delta, double time_budget_s,
                   int n_sample, uint64_t seed, double* out_T) {
-  (void)overlap;
   std::mt19937 rng((unsigned)seed);
   Mat4 T = four_pcs(to_vec(src, ns), to_vec(tgt, nt), delta, time_budget_s,
-                    n_sample, &rng);
+                    n_sample, &rng, overlap);
   copy_out(T, out_T);
 }
 
@@ -863,6 +879,69 @@ void rp_estimate_normals(const double* pts, int n, double radius,
   estimate_normals(p, radius, &nr);
   for (int i = 0; i < n; ++i)
     for (int k = 0; k < 3; ++k) out_normals[3 * i + k] = nr[i][k];
+}
+
+// Overlap statistics between two scans under the GT relative pose —
+// host-native equivalent of core/overlap.py::point_cloud_overlap
+// (util.py:21-40 semantics).  The classical-baseline eval loop calls this
+// instead of the O(N^2) chunked-matmul path: the scannet full-frame scans
+// are ~300k points, which the GridNN makes O(N) on the host.
+// out5 = {overlap, cam_dist, pc_dist, pc_nn_mean, unused}.
+void rp_overlap_stats(const double* src, int ns, const double* tgt, int nt,
+                      const double* T_rowmajor, double thresh,
+                      double* out5) {
+  std::vector<Vec3> s = to_vec(src, ns), t = to_vec(tgt, nt);
+  Mat4 T;
+  for (int i = 0; i < 4; ++i)
+    for (int j = 0; j < 4; ++j) T.m[i][j] = T_rowmajor[4 * i + j];
+  std::vector<Vec3> s_in_t(s.size());
+  for (size_t i = 0; i < s.size(); ++i) s_in_t[i] = xform(T, s[i]);
+
+  GridNN snn, tnn;
+  // cell = thresh gives <= 3^3 cells per query at radius thresh
+  tnn.build(t, thresh);
+  snn.build(s_in_t, thresh);
+
+  double big = 1e30;
+  int hit_s = 0;
+  double min_s = big;
+  for (size_t i = 0; i < s_in_t.size(); ++i) {
+    double d2;
+    if (tnn.nearest(s_in_t[i], thresh, &d2) >= 0) {
+      ++hit_s;
+      min_s = std::min(min_s, d2);
+    }
+  }
+  int hit_t = 0;
+  double min_t = big;
+  for (size_t i = 0; i < t.size(); ++i) {
+    double d2;
+    if (snn.nearest(t[i], thresh, &d2) >= 0) {
+      ++hit_t;
+      min_t = std::min(min_t, d2);
+    }
+  }
+  // pc_nn: the jax path reports the true global min NN distance (not
+  // radius-clamped); within-radius min matches when any hit exists, and
+  // the stat is only used for reporting.  Clamp misses to thresh.
+  double nn_s = std::sqrt(std::min(min_s, thresh * thresh));
+  double nn_t = std::sqrt(std::min(min_t, thresh * thresh));
+
+  Vec3 mean_s = {0, 0, 0}, mean_t = {0, 0, 0};
+  for (auto& p : s_in_t) mean_s = add(mean_s, p);
+  for (auto& p : t) mean_t = add(mean_t, p);
+  if (!s_in_t.empty()) mean_s = scale(mean_s, 1.0 / s_in_t.size());
+  if (!t.empty()) mean_t = scale(mean_t, 1.0 / t.size());
+
+  double ov_s = s.empty() ? 0.0 : (double)hit_s / (double)s.size();
+  double ov_t = t.empty() ? 0.0 : (double)hit_t / (double)t.size();
+  Vec3 tvec = {T.m[0][3], T.m[1][3], T.m[2][3]};
+  Vec3 dmean = sub(mean_s, mean_t);
+  out5[0] = std::max(ov_s, ov_t);
+  out5[1] = std::sqrt(dot(tvec, tvec));
+  out5[2] = std::sqrt(dot(dmean, dmean));
+  out5[3] = 0.5 * (nn_s + nn_t);
+  out5[4] = 0.0;
 }
 
 void rp_fpfh(const double* pts, int n, double normal_radius,

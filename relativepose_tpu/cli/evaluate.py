@@ -196,8 +196,10 @@ def main(argv=None):
             # r4: in-process callers that already ran TPU rows get a
             # silent no-op) — detect and warn so multi-row drivers run
             # classical rows in a subprocess instead.
-            import jax.extend.backend as _jeb
-            already = _jeb.backends() if hasattr(_jeb, "backends") else None
+            # NOTE: jax.extend.backend.backends() would itself initialize
+            # the backend — inspect the registry without triggering it
+            from jax._src import xla_bridge as _xb
+            already = getattr(_xb, "_backends", None)
             if already:
                 print("warning: JAX backend already initialized; "
                       "--force_cpu has no effect in this process (run "

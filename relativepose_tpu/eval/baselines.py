@@ -20,9 +20,16 @@ def _native():
 
 
 def super4pcs(pc_src, pc_tgt, overlap: float = 0.5, delta: float = 0.1,
-              time_budget_s: float = 240.0, n_points: int = 200):
+              time_budget_s: float = None, n_points: int = 200):
     """4PCS-style congruent-set registration (baselines.py:10-35 CLI args:
-    -o 0.5 -d 0.1 -t 1000 -n 200).  Identity fallback on failure."""
+    -o 0.5 -d 0.1 -t 1000 -n 200).  Identity fallback on failure.
+
+    Default budget 240 s (the reference's subprocess timeout,
+    baselines.py:24); the native search also early-exits on LCP target or
+    stagnation.  RPTPU_S4PCS_BUDGET overrides for large campaigns."""
+    if time_budget_s is None:
+        import os
+        time_budget_s = float(os.environ.get("RPTPU_S4PCS_BUDGET", 240.0))
     try:
         return _native().super4pcs(pc_src, pc_tgt, overlap, delta,
                                    time_budget_s, n_points)
@@ -57,16 +64,40 @@ METHODS = {
 
 def run_classical_eval(args, cfg: harness.EvalConfig):
     """Per-pair host loop for the classical methods (they are CPU-native);
-    mirrors evaluation.py:190-201 incl. the overlap < 0.1 skip."""
+    mirrors evaluation.py:190-201 incl. the overlap < 0.1 skip.
+
+    Overlap statistics come from the native GridNN (`rp_overlap_stats`)
+    instead of the device chunked-matmul path: on one host core the
+    O(N^2) matmul costs ~10 s per 26k-point pano pair and is intractable
+    for the ~300k-point scannet full frames, while the grid hash is
+    ~10 ms.  Since the same pairs are evaluated by all four methods, the
+    stats are also cached on disk (tmp/overlap_cache) keyed by the scene
+    identity, so 3 of the 4 method runs skip the computation entirely."""
+    import os
+
     import jax.numpy as jnp
 
-    from relativepose_tpu.core import overlap as overlap_mod
     from relativepose_tpu.data import datasets as dsets
+    from relativepose_tpu.native import registration as natreg
 
+    ov_cache_dir = None
     if "synthetic" in args.dataList:
+        seed0 = getattr(args, "eval_seed", 20_000)
         source = dsets.SyntheticPairs(
-            args.family, n=min(args.maxIter, 1000),
-            seed=getattr(args, "eval_seed", 20_000))
+            args.family, n=min(args.maxIter, 1000), seed=seed0,
+            ramp_weight=getattr(args, "ramp_weight", 0.35),
+            n_clutter=getattr(args, "n_clutter", 0))
+        ov_cache_dir = os.path.join("tmp", "overlap_cache")
+        os.makedirs(ov_cache_dir, exist_ok=True)
+
+        def ov_key(i):
+            tag = f"_rw{source.ramp_weight:g}" if source.ramp_weight != 0.35 \
+                else ""
+            tag += f"_cl{source.n_clutter}" if source.n_clutter else ""
+            # all four classical methods share the parse, so the key is
+            # scene identity only
+            return os.path.join(ov_cache_dir,
+                                f"{args.family}_{seed0 + i}{tag}.npz")
     else:
         source = dsets.PanoPairDataset(args.family, "test", args.listPath,
                                        entry_split=args.entrySplit)
@@ -98,11 +129,22 @@ def run_classical_eval(args, cfg: harness.EvalConfig):
             jnp.asarray(d_t["norm"]), args.family, args.method,
             depth_full=_full(d_t, "depth_full"),
             rgb_full=_full(d_t, "rgb_full"))
-        ov = overlap_mod.point_cloud_overlap(pc_s, val_s, pc_t, val_t, T_gt)
-        if float(ov["overlap"]) < 0.1:  # evaluation.py:190-191
-            continue
         ps = np.asarray(pc_s)[np.asarray(val_s)]
         pt = np.asarray(pc_t)[np.asarray(val_t)]
+        ov = None
+        ov_path = ov_key(i) if ov_cache_dir else None
+        if ov_path and os.path.exists(ov_path):
+            with np.load(ov_path) as z:
+                ov = {k: float(z[k]) for k in
+                      ("overlap", "cam_dist", "pc_dist", "pc_nn")}
+        if ov is None:
+            ov = natreg.overlap_stats(ps, pt, np.asarray(T_gt))
+            if ov_path:
+                tmp_p = ov_path + f".tmp{os.getpid()}"
+                np.savez(tmp_p, **ov)
+                os.replace(tmp_p + ".npz", ov_path)
+        if float(ov["overlap"]) < 0.1:  # evaluation.py:190-191
+            continue
         cs = np.asarray(col_s)[np.asarray(val_s)]
         ct = np.asarray(col_t)[np.asarray(val_t)]
         T_hat = np.asarray(method(ps, pt, cs, ct), np.float32)

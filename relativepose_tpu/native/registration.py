@@ -52,6 +52,8 @@ def _load():
     lib.rp_estimate_normals.argtypes = [D, ctypes.c_int, ctypes.c_double, D]
     lib.rp_fpfh.argtypes = [D, ctypes.c_int, ctypes.c_double,
                             ctypes.c_double, F]
+    lib.rp_overlap_stats.argtypes = [
+        D, ctypes.c_int, D, ctypes.c_int, D, ctypes.c_double, D]
     _LIB = lib
     return lib
 
@@ -146,3 +148,18 @@ def fpfh(pc, normal_radius=0.1, feat_radius=0.25):
     lib.rp_fpfh(_cptr(p), n, normal_radius, feat_radius,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def overlap_stats(pc_src, pc_tgt, T_gt, thresh=0.08):
+    """Host-native overlap statistics (core/overlap.py semantics via the
+    C++ GridNN) — O(N) per scan, usable on the 300k-point scannet
+    full-frame clouds where the chunked-matmul path is O(N^2)."""
+    lib = _load()
+    s, ns = _prep(pc_src)
+    t, nt = _prep(pc_tgt)
+    T = np.ascontiguousarray(np.asarray(T_gt, np.float64).reshape(4, 4))
+    out = np.zeros(5)
+    lib.rp_overlap_stats(_cptr(s), ns, _cptr(t), nt, _cptr(T), thresh,
+                         _cptr(out))
+    return {"overlap": out[0], "cam_dist": out[1], "pc_dist": out[2],
+            "pc_nn": out[3]}
