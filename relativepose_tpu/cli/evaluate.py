@@ -24,6 +24,7 @@ from relativepose_tpu.config import ChannelLayout
 from relativepose_tpu.data import datasets as dsets
 from relativepose_tpu.eval import harness
 from relativepose_tpu.match.keypoints import KeypointConfig
+from relativepose_tpu.match.solver import SolverStaticConfig
 from relativepose_tpu.pipeline import PipelineConfig
 
 
@@ -76,6 +77,12 @@ def _parse_args(argv=None):
     p.add_argument("--min_score", type=float, default=0.0,
                    help="with best_score: identity pose when even the "
                         "best step's inlier rate is below this")
+    p.add_argument("--refit", type=int, default=0,
+                   help="tight-sigma Gaussian inlier-refit rounds after "
+                        "the solver fit (SolverStaticConfig.refit_rounds; "
+                        "0 = reference semantics).  Targets translation: "
+                        "the reference's meter-scale IRLS sigma leaves "
+                        "t exposed to sub-meter position outliers")
     p.add_argument("--n_detect", type=int, default=None,
                    help="detector keypoint capacity per view "
                         "(default: KeypointConfig.n_detect)")
@@ -216,6 +223,7 @@ def main(argv=None):
         alter_steps=cfg.alter_steps, completion=cfg.completion,
         output_type=args.outputType, snumclass=args.snumclass,
         step_select=args.step_select, min_score=args.min_score,
+        solver=SolverStaticConfig(refit_rounds=args.refit),
         feature_dim=args.featureDim, keypoints=KeypointConfig(
             **{k: v for k, v in (("n_detect", args.n_detect),
                                  ("dog_threshold", args.dog_threshold))

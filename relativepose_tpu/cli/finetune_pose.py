@@ -51,6 +51,10 @@ def main(argv=None):
                         "runs 3; 2 halves the backward cost and the "
                         "per-step sigma table still applies)")
     p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--refit", type=int, default=0,
+                   help="solver inlier-refit rounds; train through the "
+                        "same graph that will be evaluated (see "
+                        "cli.evaluate --refit)")
     p.add_argument("--rot_weight", type=float, default=1.0)
     p.add_argument("--trans_weight", type=float, default=0.25)
     p.add_argument("--anchor_weight", type=float, default=0.0)
@@ -79,7 +83,8 @@ def main(argv=None):
         keypoints=KeypointConfig(), remat=True,
         # Pallas kernels have no autodiff rule — the differentiable path
         # must use the XLA W build / power iteration
-        solver=SolverStaticConfig(pallas_w_build=False, use_pallas=False))
+        solver=SolverStaticConfig(pallas_w_build=False, use_pallas=False,
+                                  refit_rounds=args.refit))
     hp = harness.hyper_params_from_table(
         harness.default_sigma_table(family)[:args.alter_steps],
         alter_steps=args.alter_steps)

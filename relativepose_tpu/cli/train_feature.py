@@ -39,6 +39,7 @@ def make_source(args, split: str, dataset: str):
         return dsets.SyntheticPairs(
             dataset, n=n, seed=0 if split == "train" else 10_000,
             view_detail_jitter=bool(getattr(args, "view_detail_jitter", 0)),
+            full_frames=False,  # train steps never read the kinect frames
             **synthetic_scene_kwargs(args))
     return dsets.PanoPairDataset(dataset, split, args.listPath)
 

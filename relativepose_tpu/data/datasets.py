@@ -152,7 +152,8 @@ class SyntheticPairs:
                  max_baseline: float = 0.8, cache_size: Optional[int] = None,
                  cache_dir: Optional[str] = None,
                  view_detail_jitter: bool = False,
-                 ramp_weight: float = 0.35, n_clutter: int = 0):
+                 ramp_weight: float = 0.35, n_clutter: int = 0,
+                 full_frames: bool = True):
         """cache_size None = cache every item in RAM (a 160x640 pair is
         ~3 MB; even 2048 pairs fit easily).  cache_dir, if set, persists
         rendered pairs as .npz so separate runs (feature training,
@@ -160,7 +161,11 @@ class SyntheticPairs:
         view_detail_jitter decorrelates the fine texture layer across the
         two views (training augmentation; see synthetic._texture).
         ramp_weight / n_clutter are the v4 scene knobs (synthetic.make_pair);
-        defaults reproduce v3 scenes and reuse their cache files."""
+        defaults reproduce v3 scenes and reuse their cache files.
+        full_frames=False skips the scannet 480x640 kinect raycast
+        (training never reads rgb_full/depth_full); frameless items are
+        cached under a distinct '_nf' tag, but a full cache file, if
+        present, satisfies a frameless request."""
         self.dataset = dataset
         self.n = n
         self.seed = seed
@@ -168,6 +173,7 @@ class SyntheticPairs:
         self.view_detail_jitter = view_detail_jitter
         self.ramp_weight = ramp_weight
         self.n_clutter = n_clutter
+        self.full_frames = full_frames
         self._cache = {}
         self._cache_size = n if cache_size is None else cache_size
         if cache_dir is None:
@@ -179,7 +185,8 @@ class SyntheticPairs:
     def __len__(self):
         return self.n
 
-    def _disk_path(self, index: int) -> Optional[str]:
+    def _disk_path(self, index: int, frameless: bool = False
+                   ) -> Optional[str]:
         if not self.cache_dir:
             return None
         # 'v2' = the completion-learnable texture (synthetic.py docstring);
@@ -190,6 +197,8 @@ class SyntheticPairs:
             tag += f"_rw{self.ramp_weight:g}"
         if self.n_clutter:
             tag += f"_cl{self.n_clutter}"
+        if frameless:
+            tag += "_nf"
         return os.path.join(
             self.cache_dir,
             f"{self.dataset}_{self.seed + index}_{self.max_baseline:g}"
@@ -199,24 +208,35 @@ class SyntheticPairs:
         if index in self._cache:
             return self._cache[index]
         path = self._disk_path(index)
+        # a full cache file satisfies a frameless request; the frameless
+        # ('_nf') file never satisfies a full one
+        candidates = [path] if self.full_frames else \
+            [path, self._disk_path(index, frameless=True)]
         item = None
-        if path and os.path.exists(path):
-            try:
-                with np.load(path) as z:
-                    ds = {k[2:]: z[k] for k in z.files if k.startswith("s_")}
-                    dt = {k[2:]: z[k] for k in z.files if k.startswith("t_")}
-                    item = dict(data_s=ds, data_t=dt, T_gt=z["T_gt"], Q=None,
-                                imgs_path=(f"synthetic/{index}/src",
-                                           f"synthetic/{index}/tgt"))
-            except Exception:
-                item = None  # corrupt/partial file: re-render
+        for cand in candidates:
+            if cand and os.path.exists(cand):
+                try:
+                    with np.load(cand) as z:
+                        ds = {k[2:]: z[k] for k in z.files
+                              if k.startswith("s_")}
+                        dt = {k[2:]: z[k] for k in z.files
+                              if k.startswith("t_")}
+                        item = dict(data_s=ds, data_t=dt, T_gt=z["T_gt"],
+                                    Q=None,
+                                    imgs_path=(f"synthetic/{index}/src",
+                                               f"synthetic/{index}/tgt"))
+                    break
+                except Exception:
+                    item = None  # corrupt/partial file: re-render
         if item is None:
             from relativepose_tpu.data import synthetic
             ds, dt, T_gt = synthetic.make_pair(
                 self.seed + index, self.dataset,
                 max_baseline=self.max_baseline,
                 view_detail_jitter=self.view_detail_jitter,
-                ramp_weight=self.ramp_weight, n_clutter=self.n_clutter)
+                ramp_weight=self.ramp_weight, n_clutter=self.n_clutter,
+                full_frames=self.full_frames)
+            path = self._disk_path(index, frameless=not self.full_frames)
             item = dict(data_s=ds, data_t=dt, T_gt=T_gt.astype(np.float32),
                         Q=None, imgs_path=(f"synthetic/{index}/src",
                                            f"synthetic/{index}/tgt"))

@@ -364,7 +364,8 @@ def _make_clutter(rng, room: Room, cam_centers, n_clutter: int) -> tuple:
 
 def make_pair(seed: int, dataset: str = "suncg", max_baseline: float = 0.8,
               max_yaw: float = np.pi, view_detail_jitter: bool = False,
-              ramp_weight: float = 0.35, n_clutter: int = 0):
+              ramp_weight: float = 0.35, n_clutter: int = 0,
+              full_frames: bool = True):
     """A synthetic pano pair + GT relative pose.
 
     Returns (data_s, data_t, T_gt [4,4]) where data_* have rgb/depth/norm/
@@ -377,6 +378,11 @@ def make_pair(seed: int, dataset: str = "suncg", max_baseline: float = 0.8,
     localizing paint), `n_clutter` adds that many interior occluders
     (clutter uses an independent RNG stream so the room/poses/texture of
     a given seed are unchanged by it).
+
+    full_frames=False skips the 480x640 kinect raycast for scannet
+    (rgb_full/depth_full) — it is ~85% of scannet make_pair's cost and
+    the training drivers never read those arrays (the device store drops
+    them); only keypoint extraction at eval / pose-finetune needs them.
     """
     rng = np.random.RandomState(seed)
     room = Room(half_extent=rng.uniform(1.8, 3.2, 3), seed=seed,
@@ -414,7 +420,7 @@ def make_pair(seed: int, dataset: str = "suncg", max_baseline: float = 0.8,
             else None
         v = render_pano(room, P[:3, :3], P[:3, 3], dataset, dseed, lseed)
         v["pose"] = P
-        if config.canonical_dataset(dataset) == "scannet":
+        if config.canonical_dataset(dataset) == "scannet" and full_frames:
             rgb_full, depth_full = render_kinect_frame(
                 room, P[:3, :3], P[:3, 3], dseed, lseed)
             v["rgb_full"] = rgb_full

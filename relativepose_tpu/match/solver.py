@@ -76,6 +76,19 @@ class SolverStaticConfig:
     # kernel (ops/pallas_kernels.py) wins when C grows past VMEM-friendly
     # batching; flip this on to use it.
     use_pallas: bool = False
+    # Optional tight-sigma Gaussian inlier refit after the method fit
+    # (round-5 translation work, VERDICT r4 #4).  The reference's IRLS
+    # reweighting uses resSigma=1 (meter scale, rpmodule.py:198) which
+    # barely downweights sub-meter position outliers — rotation is robust
+    # to them (normals dominate the N-matrix) but the translation
+    # t = mu_t - R mu_s inherits their full position error.  Each refit
+    # round reweights correspondences by their descriptor affinity times
+    # exp(-res^2 / 2 sigma^2) under the current pose and re-solves Horn;
+    # a small weight floor keeps the solve conditioned (and the backward
+    # path finite) when no correspondence lands within sigma.  0 rounds =
+    # reference semantics (default).
+    refit_rounds: int = 0
+    refit_sigma: float = 0.08     # = opts.distThre (rputil.py:13)
     # Pallas fused pair-weight build.  The XLA pair_weight_matrix
     # materializes ~15 [C, C] f32 temporaries through HBM; the Pallas
     # kernel (ops/pallas_kernels.py::pair_weight_matrix_vmem) builds each
@@ -447,6 +460,22 @@ def estimate_relative_pose(data_s, data_t, hp: SolverHyperParams,
         R, t = fit_irls_sm(ps, pt, ns, nt, W, hp.mu, cfg)
     else:
         raise ValueError(f"unknown method {method!r}")
+
+    if cfg.refit_rounds > 0:
+        cw0 = f * cvalid.astype(f.dtype)
+        inv_2s2 = 1.0 / (2.0 * cfg.refit_sigma ** 2)
+
+        def refit_body(_, carry):
+            R, t = carry
+            res2 = jnp.sum((ps @ R.T + t - pt) ** 2, axis=-1)
+            # 1e-4 floor: keeps the Horn solve conditioned (and its
+            # backward finite) when nothing lands within refit_sigma
+            w_ref = cw0 * (jnp.exp(-res2 * inv_2s2) + 1e-4)
+            R2, t2 = horn.fit_rigid(ps, pt, ns, nt, w_ref, w_ref, hp.mu)
+            good = jnp.all(jnp.isfinite(R2)) & jnp.all(jnp.isfinite(t2))
+            return (jnp.where(good, R2, R), jnp.where(good, t2, t))
+
+        R, t = jax.lax.fori_loop(0, cfg.refit_rounds, refit_body, (R, t))
 
     # early-outs (rpmodule.py:346, :377, :406, :440, :469)
     ok = (

@@ -244,3 +244,41 @@ class TestCLIMains:
         assert len(runner.error_stats) == 2
         for r in runner.error_stats:
             assert np.isfinite(r["err_ad"]) and np.isfinite(r["err_t"])
+
+
+class TestFramelessSyntheticCache:
+    """full_frames=False skips the scannet kinect raycast for training
+    data; its '_nf' cache files must never satisfy a full request, while
+    full files satisfy frameless requests (datasets.py::SyntheticPairs)."""
+
+    def test_frameless_skips_kinect_and_cache_isolation(self, tmp_path):
+        from relativepose_tpu.data import datasets as dsets
+        cache = str(tmp_path / "cache")
+        nf = dsets.SyntheticPairs("scannet", n=1, seed=3, cache_dir=cache,
+                                  full_frames=False)
+        item = nf[0]
+        assert "rgb_full" not in item["data_s"]
+        files = os.listdir(cache)
+        assert len(files) == 1 and files[0].endswith("_nf.npz")
+
+        full = dsets.SyntheticPairs("scannet", n=1, seed=3, cache_dir=cache,
+                                    full_frames=True)
+        item_full = full[0]
+        assert item_full["data_s"]["rgb_full"].shape == (480, 640, 3)
+        # same scene, identical panos
+        np.testing.assert_allclose(item["data_s"]["rgb"],
+                                   item_full["data_s"]["rgb"])
+
+        # the full file now satisfies a fresh frameless request (no
+        # re-render): corrupt scene rendering to prove no render happens
+        nf2 = dsets.SyntheticPairs("scannet", n=1, seed=3, cache_dir=cache,
+                                   full_frames=False)
+        import relativepose_tpu.data.synthetic as synth
+        orig = synth.make_pair
+        synth.make_pair = None  # would raise if called
+        try:
+            item2 = nf2[0]
+        finally:
+            synth.make_pair = orig
+        np.testing.assert_allclose(item2["data_s"]["rgb"],
+                                   item["data_s"]["rgb"])
