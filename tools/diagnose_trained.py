@@ -49,6 +49,10 @@ def main():
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--base_width", type=int, default=64)
     p.add_argument("--bf16", type=int, default=1)
+    p.add_argument("--ramp_weight", type=float, default=0.35,
+                   help="v4 scene knob — diagnose on the same scene "
+                        "distribution the checkpoint was trained for")
+    p.add_argument("--n_clutter", type=int, default=0)
     args = p.parse_args()
 
     from relativepose_tpu.core import masking
@@ -85,7 +89,9 @@ def main():
                       feature_dim=cfg.feature_dim, ngf=cfg.ngf,
                       dtype=dtype)
 
-    src = dsets.SyntheticPairs(args.family, n=args.n, seed=args.seed)
+    src = dsets.SyntheticPairs(args.family, n=args.n, seed=args.seed,
+                               ramp_weight=args.ramp_weight,
+                               n_clutter=args.n_clutter)
     store = DeviceStore(src)
 
     @jax.jit

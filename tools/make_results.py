@@ -75,6 +75,13 @@ def main():
                    help="also run the classical baselines (super4pcs / gs "
                         "/ fgs / cgs — host C++; they skip overlap < 0.1 "
                         "pairs, evaluation.py:190-191)")
+    p.add_argument("--best_step", type=float, default=None,
+                   help="adds an 'ours (best-step select)' row: "
+                        "--step_select best_score with this --min_score "
+                        "confidence gate (round-5 recurrence triage)")
+    p.add_argument("--refit_row", action="store_true",
+                   help="adds an 'ours (+inlier refit)' row (--refit 2; "
+                        "round-5 translation A/B)")
     p.add_argument("--tuned_para", type=str, default=None,
                    help="sigma table txt produced by cli.tune_sigma on the "
                         "trained primitives; adds an 'ours (tuned sigma)' "
@@ -96,12 +103,26 @@ def main():
     ck = ["--comp_ckpt", args.comp_ckpt, "--ngf", str(args.ngf)]
 
     rows = []
+    # the flagship row also records per-recurrence-step errors
+    # (rot_steps_*/trans_steps_* in the raw JSON — VERDICT r4 #3 triage)
     rows.append(run("ours (trained SCNet)",
-                    base + ck + ["--method", "ours", "--exp", "res_ours"]))
+                    base + ck + ["--method", "ours", "--exp", "res_ours",
+                                 "--per_step_errors", "1"]))
     rows.append(run("ours_nr (trained, 1 step)",
                     base + ck + ["--method", "ours_nr", "--exp", "res_nr"]))
     rows.append(run("ours_nc (no completion)",
                     base + ck + ["--method", "ours_nc", "--exp", "res_nc"]))
+    if args.best_step is not None:
+        rows.append(run(
+            "ours (best-step select)",
+            base + ck + ["--method", "ours", "--exp", "res_ours_bs",
+                         "--step_select", "best_score",
+                         "--min_score", str(args.best_step)]))
+    if args.refit_row:
+        rows.append(run(
+            "ours (+inlier refit)",
+            base + ck + ["--method", "ours", "--exp", "res_ours_refit",
+                         "--refit", "2"]))
     if args.tuned_para:
         rows.append(run("ours (trained, tuned sigma)",
                         base + ck + ["--method", "ours", "--exp",
