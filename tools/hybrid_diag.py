@@ -42,6 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 COMBOS = ("learned", "ldesc_gtgeo", "pdesc_lgeo", "netf_gtgeo", "netf_lgeo")
+# translation-triage combos (VERDICT r4 #4): ldesc_gtd / ldesc_gtn swap
+# only the completed depth / only the completed normals to ground truth
 
 
 def main():
@@ -88,6 +90,12 @@ def main():
 
     def make_factory(combo: str):
         gt_geo = combo.endswith("gtgeo")
+        # translation triage (VERDICT r4 #4): substitute ONE geometry
+        # channel at a time — 'gtd' isolates the keypoint depth lift
+        # (rputil.py:61-119), 'gtn' the normal-consistency filters and
+        # the Horn normal rows (rpmodule.py:60-84,424-436)
+        gt_d = gt_geo or combo.endswith("gtd")
+        gt_n = gt_geo or combo.endswith("gtn")
         desc = combo.split("_")[0]  # 'learned'/'ldesc' -> SCNet f
 
         def factory(data_s, data_t, params):
@@ -104,10 +112,11 @@ def main():
                 out = net_g.apply({"params": params["g"]}, x).astype(
                     jnp.float32)
                 gt = oracle_fn(x)
-                if gt_geo:
+                if gt_n:
                     out = jnp.concatenate(
                         [out[..., :n_lo], gt[..., n_lo:n_hi],
                          out[..., n_hi:]], -1)
+                if gt_d:
                     out = jnp.concatenate(
                         [out[..., :d_lo], gt[..., d_lo:d_hi],
                          out[..., d_hi:]], -1)
