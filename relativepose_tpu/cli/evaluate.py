@@ -66,6 +66,10 @@ def _parse_args(argv=None):
                         "localizing paint)")
     p.add_argument("--n_clutter", type=int, default=0,
                    help="v4 scene knob: interior occluders per room")
+    p.add_argument("--alterStep", type=int, default=None,
+                   help="recurrence depth override (the reference's "
+                        "--alterStep, evaluation.py:56,73; default: 3 "
+                        "for ours, 1 for ours_nr)")
     p.add_argument("--per_step_errors", type=int, default=0,
                    help="also record the pose error after each recurrence "
                         "step (rot_step_i / trans_step_i columns)")
@@ -192,7 +196,8 @@ def main(argv=None):
         max_iter=args.maxIter, num_repeat=args.num_repeat,
         batch_pairs=args.batch_pairs, resume=not args.rm,
         sigma_table=sigma_table,
-        per_step_errors=bool(args.per_step_errors))
+        per_step_errors=bool(args.per_step_errors),
+        alter_steps_override=args.alterStep)
 
     if args.method in harness.CLASSICAL_METHODS:
         if args.force_cpu:

@@ -57,9 +57,15 @@ class EvalConfig:
     resume: bool = True
     sigma_table: Optional[np.ndarray] = None  # [steps, 4] like --para files
     per_step_errors: bool = False  # record rot/trans error after each step
+    # explicit recurrence depth (the reference's --alterStep flag,
+    # evaluation.py:56,73: default rlevel=3, ours_nr forces 1).  None =
+    # the reference's method-derived default.
+    alter_steps_override: Optional[int] = None
 
     @property
     def alter_steps(self) -> int:
+        if self.alter_steps_override is not None:
+            return self.alter_steps_override
         return 1 if self.method == "ours_nr" else 3  # evaluation.py:73
 
     @property

@@ -421,3 +421,25 @@ class TestTrainer:
         m.update(1.0)
         m.update(3.0)
         assert m.avg == 2.0
+
+
+class TestAlterStepOverride:
+    """--alterStep (evaluation.py:56,73): explicit recurrence depth."""
+
+    def test_default_by_method(self):
+        assert harness.EvalConfig(dataset="suncg",
+                                  method="ours").alter_steps == 3
+        assert harness.EvalConfig(dataset="suncg",
+                                  method="ours_nr").alter_steps == 1
+
+    def test_override_wins(self):
+        cfg = harness.EvalConfig(dataset="suncg", method="ours",
+                                 alter_steps_override=2)
+        assert cfg.alter_steps == 2
+        # a 3-row sigma table still validates against the shallower depth
+        hp = harness.hyper_params_from_table(
+            np.tile([0.26, 0.26, 0.04, 0.01], (3, 1)), alter_steps=2)
+        assert hp.sigma_dist.shape == (3,)
+        with pytest.raises(ValueError):
+            harness.hyper_params_from_table(
+                np.tile([0.26, 0.26, 0.04, 0.01], (1, 1)), alter_steps=2)
