@@ -87,6 +87,12 @@ def _parse_args(argv=None):
                         "0 = reference semantics).  Targets translation: "
                         "the reference's meter-scale IRLS sigma leaves "
                         "t exposed to sub-meter position outliers")
+    p.add_argument("--trans_refine", type=int, default=0,
+                   help="robust translation re-aggregation rounds: keep "
+                        "the fitted R fixed and IRLS (Geman-McClure, "
+                        "sigma=0.1 m) the per-correspondence translation "
+                        "votes pt - R ps (SolverStaticConfig."
+                        "trans_refine_rounds; 0 = reference semantics)")
     p.add_argument("--n_detect", type=int, default=None,
                    help="detector keypoint capacity per view "
                         "(default: KeypointConfig.n_detect)")
@@ -228,7 +234,8 @@ def main(argv=None):
         alter_steps=cfg.alter_steps, completion=cfg.completion,
         output_type=args.outputType, snumclass=args.snumclass,
         step_select=args.step_select, min_score=args.min_score,
-        solver=SolverStaticConfig(refit_rounds=args.refit),
+        solver=SolverStaticConfig(refit_rounds=args.refit,
+                                  trans_refine_rounds=args.trans_refine),
         feature_dim=args.featureDim, keypoints=KeypointConfig(
             **{k: v for k, v in (("n_detect", args.n_detect),
                                  ("dog_threshold", args.dog_threshold))

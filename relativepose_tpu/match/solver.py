@@ -89,6 +89,25 @@ class SolverStaticConfig:
     # reference semantics (default).
     refit_rounds: int = 0
     refit_sigma: float = 0.08     # = opts.distThre (rputil.py:13)
+    # Robust translation re-aggregation (round-5 translation work,
+    # VERDICT r4 #4).  The hybrid-oracle triage (tools/hybrid_diag.py,
+    # ldesc_gtd/ldesc_gtn/ldesc_gtgeo combos) shows the learned
+    # pipeline's translation error is dominated by per-correspondence
+    # POSITION outliers: completed-depth error at lifted keypoints
+    # (~half) and descriptor mismatches (the rest — even with GT
+    # geometry, trans stays ~12x off the oracle while rotation is fine).
+    # The reference's t = mu_t - R mu_s (rpmodule.py:60-84) is a
+    # weighted MEAN over correspondences and inherits outliers' full
+    # position error; rotation does not because normals dominate its
+    # N-matrix.  This option keeps the fitted R FIXED and re-estimates
+    # only t as a robust (Geman-McClure) IRLS mean of the
+    # per-correspondence translation votes t_c = pt_c - R ps_c,
+    # weighted by the descriptor-affinity weights.  Unlike the
+    # refit_rounds experiment above (a negative result: re-solving R
+    # with tight Gaussian weights destabilizes the rotation), this
+    # cannot move R at all.  0 rounds = reference semantics (default).
+    trans_refine_rounds: int = 0
+    trans_refine_sigma: float = 0.10
     # Pallas fused pair-weight build.  The XLA pair_weight_matrix
     # materializes ~15 [C, C] f32 temporaries through HBM; the Pallas
     # kernel (ops/pallas_kernels.py::pair_weight_matrix_vmem) builds each
@@ -476,6 +495,25 @@ def estimate_relative_pose(data_s, data_t, hp: SolverHyperParams,
             return (jnp.where(good, R2, R), jnp.where(good, t2, t))
 
         R, t = jax.lax.fori_loop(0, cfg.refit_rounds, refit_body, (R, t))
+
+    if cfg.trans_refine_rounds > 0:
+        # vote weights: W row-sums — each correspondence's total pairwise
+        # consistency support (descriptor x distance x angle filters) —
+        # not the raw descriptor affinity, so correspondences the filter
+        # chain already distrusts barely vote
+        cw0 = jnp.sum(W, axis=1) * cvalid.astype(f.dtype)
+        s2 = cfg.trans_refine_sigma ** 2
+        votes = pt - ps @ R.T        # [C, 3] translation votes under R
+
+        def tr_body(_, t):
+            r2 = jnp.sum((votes - t) ** 2, axis=-1)
+            g = cw0 * (s2 / (s2 + r2))   # Geman-McClure, grad-safe
+            den = jnp.sum(g)
+            t2 = jnp.sum(g[:, None] * votes, axis=0) / (den + 1e-12)
+            good = (den > 1e-8) & jnp.all(jnp.isfinite(t2))
+            return jnp.where(good, t2, t)
+
+        t = jax.lax.fori_loop(0, cfg.trans_refine_rounds, tr_body, t)
 
     # early-outs (rpmodule.py:346, :377, :406, :440, :469)
     ok = (

@@ -119,6 +119,60 @@ class TestSolverRecovery:
         g = jax.grad(loss)(to_device_data(ds)["feat"])
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_trans_refine_rejects_position_outliers(self, rng):
+        """trans_refine_rounds (flag-gated, default off): with R held
+        fixed, robustly re-aggregating the per-correspondence translation
+        votes must reject matched-descriptor correspondences whose target
+        POSITION is wrong (the completed-depth-lift error mode isolated by
+        tools/hybrid_diag.py ldesc_gtd — see docs/TRANSLATION.md), while
+        leaving rotation untouched and keeping grads finite."""
+        ds, dt, T_gt = make_scene(rng, k=48, noise=0.002)
+        # depth-lift error: descriptors + normals still match, positions
+        # of 1/3 of the target keypoints share a coherent ~0.7 m bias
+        # (completed depth systematically off in one region) — mutually
+        # consistent, so the pairwise dist-consistency filters in W
+        # cannot reject the cluster the way they reject random outliers
+        dt["pc"][:16] += np.array([0.5, -0.35, 0.25]) + \
+            rng.randn(16, 3) * 0.02
+        # (a) rescue: a single weighted Horn fit has no IRLS/spectral
+        # outlier rejection, so the coherent cluster drags its centroid
+        # t — the vote refinement must recover it
+        base = solver.SolverStaticConfig(top_k=3, method="horn87")
+        tref = solver.SolverStaticConfig(top_k=3, method="horn87",
+                                         trans_refine_rounds=8)
+        T0 = np.asarray(solver.estimate_relative_pose(
+            to_device_data(ds), to_device_data(dt), HP, base))
+        T1 = np.asarray(solver.estimate_relative_pose(
+            to_device_data(ds), to_device_data(dt), HP, tref))
+        # rotation identical by construction (R is never touched)
+        assert rot_err(T1, T0) < 1e-4
+        e0 = np.linalg.norm(T0[:3, 3] - T_gt[:3, 3])
+        e1 = np.linalg.norm(T1[:3, 3] - T_gt[:3, 3])
+        assert e1 < e0
+        assert e1 < 0.05
+        # (b) no-harm: irls+sm already rejects the cluster through the
+        # spectral stage; the refinement must not regress it
+        base_sm = solver.SolverStaticConfig(top_k=3, method="irls+sm")
+        tref_sm = solver.SolverStaticConfig(top_k=3, method="irls+sm",
+                                            trans_refine_rounds=8)
+        T2 = np.asarray(solver.estimate_relative_pose(
+            to_device_data(ds), to_device_data(dt), HP, base_sm))
+        T3 = np.asarray(solver.estimate_relative_pose(
+            to_device_data(ds), to_device_data(dt), HP, tref_sm))
+        e2 = np.linalg.norm(T2[:3, 3] - T_gt[:3, 3])
+        e3 = np.linalg.norm(T3[:3, 3] - T_gt[:3, 3])
+        assert e3 < e2 + 0.02
+
+        def loss(feat):
+            d = dict(to_device_data(ds))
+            d["feat"] = feat
+            T = solver.estimate_relative_pose(
+                d, to_device_data(dt), HP, tref)
+            return jnp.sum(T[:3, 3] ** 2)
+
+        g = jax.grad(loss)(to_device_data(ds)["feat"])
+        assert np.all(np.isfinite(np.asarray(g)))
+
     def test_padding_invariance(self, rng):
         """Padding keypoint capacity must not change the result."""
         ds, dt, T_gt = make_scene(rng, k=20)

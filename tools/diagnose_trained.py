@@ -53,6 +53,9 @@ def main():
                    help="v4 scene knob — diagnose on the same scene "
                         "distribution the checkpoint was trained for")
     p.add_argument("--n_clutter", type=int, default=0)
+    p.add_argument("--internal_size", type=str, default="224x224",
+                   help="SCNet bottleneck size the checkpoint was "
+                        "trained at (HxW)")
     args = p.parse_args()
 
     from relativepose_tpu.core import masking
@@ -85,8 +88,10 @@ def main():
     if args.comp_ckpt:
         st = restore_params(args.comp_ckpt)
         g_params = jax.device_put(st["params"])
+        from relativepose_tpu.cli.common import parse_internal_size
         net_g = SCNet(output_type=cfg.output_type, snumclass=cfg.snumclass,
                       feature_dim=cfg.feature_dim, ngf=cfg.ngf,
+                      internal_size=parse_internal_size(args.internal_size),
                       dtype=dtype)
 
     src = dsets.SyntheticPairs(args.family, n=args.n, seed=args.seed,

@@ -79,6 +79,9 @@ def main():
                    help="adds an 'ours (best-step select)' row: "
                         "--step_select best_score with this --min_score "
                         "confidence gate (round-5 recurrence triage)")
+    p.add_argument("--trans_refine_row", action="store_true",
+                   help="adds an 'ours (+robust t)' row (--trans_refine 8; "
+                        "fixed-R robust translation re-aggregation)")
     p.add_argument("--refit_row", action="store_true",
                    help="adds an 'ours (+inlier refit)' row (--refit 2; "
                         "round-5 translation A/B)")
@@ -123,6 +126,11 @@ def main():
             "ours (+inlier refit)",
             base + ck + ["--method", "ours", "--exp", "res_ours_refit",
                          "--refit", "2"]))
+    if args.trans_refine_row:
+        rows.append(run(
+            "ours (+robust t)",
+            base + ck + ["--method", "ours", "--exp", "res_ours_transref",
+                         "--trans_refine", "8"]))
     if args.tuned_para:
         rows.append(run("ours (trained, tuned sigma)",
                         base + ck + ["--method", "ours", "--exp",
