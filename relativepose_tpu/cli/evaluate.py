@@ -93,6 +93,13 @@ def _parse_args(argv=None):
                         "sigma=0.1 m) the per-correspondence translation "
                         "votes pt - R ps (SolverStaticConfig."
                         "trans_refine_rounds; 0 = reference semantics)")
+    p.add_argument("--icp", type=int, default=0,
+                   help="dense projective point-to-plane ICP polish "
+                        "iterations per recurrence step (ops/icp.py; "
+                        "0 = reference semantics)")
+    p.add_argument("--icp_dof", type=int, default=6, choices=(3, 6),
+                   help="3 = translation-only polish (solver rotation "
+                        "kept fixed)")
     p.add_argument("--n_detect", type=int, default=None,
                    help="detector keypoint capacity per view "
                         "(default: KeypointConfig.n_detect)")
@@ -234,6 +241,7 @@ def main(argv=None):
         alter_steps=cfg.alter_steps, completion=cfg.completion,
         output_type=args.outputType, snumclass=args.snumclass,
         step_select=args.step_select, min_score=args.min_score,
+        icp_iters=args.icp, icp_dof=args.icp_dof,
         solver=SolverStaticConfig(refit_rounds=args.refit,
                                   trans_refine_rounds=args.trans_refine),
         feature_dim=args.featureDim, keypoints=KeypointConfig(

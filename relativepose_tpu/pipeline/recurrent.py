@@ -76,6 +76,12 @@ class PipelineConfig:
     # the reference's own <3-survivors identity early-outs
     # (rpmodule.py:346-469).  0.0 disables the gate.
     min_score: float = 0.0
+    # Dense projective point-to-plane ICP polish of each step's solved
+    # pose against the composited panos (ops/icp.py; beyond-reference,
+    # docs/TRANSLATION.md).  0 = off (reference semantics).  icp_dof=3
+    # keeps the solver rotation fixed and refines translation only.
+    icp_iters: int = 0
+    icp_dof: int = 6
 
     @property
     def layout(self) -> ChannelLayout:
@@ -201,6 +207,17 @@ def estimate_pose_via_completion(
         )
         T, score = estimate_relative_pose(prim_s, prim_t, hp_step,
                                           cfg.solver, return_score=True)
+        if cfg.icp_iters > 0:
+            from relativepose_tpu.ops import icp
+            # polish only non-identity poses: the solver's identity
+            # early-out means "no usable correspondences"; ICP from
+            # identity would chase hallucinated-geometry local minima
+            is_id = jnp.all(jnp.abs(T - jnp.eye(4, dtype=T.dtype)) == 0)
+            T_p = icp.icp_polish(T, dep_sc, nrm_sc, dep_tc, nrm_tc,
+                                 cfg.dataset, iters=cfg.icp_iters,
+                                 dof=cfg.icp_dof,
+                                 obs_s=mask_s[..., 0], obs_t=mask_t[..., 0])
+            T = jnp.where(is_id, T, T_p)
         return T, (T, score, (prim_s, prim_t))
 
     if cfg.remat:

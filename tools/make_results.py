@@ -79,6 +79,9 @@ def main():
                    help="adds an 'ours (best-step select)' row: "
                         "--step_select best_score with this --min_score "
                         "confidence gate (round-5 recurrence triage)")
+    p.add_argument("--icp_row", action="store_true",
+                   help="adds 'ours (+icp polish)' rows (--icp 5; dense "
+                        "projective point-to-plane polish, ops/icp.py)")
     p.add_argument("--trans_refine_row", action="store_true",
                    help="adds an 'ours (+robust t)' row (--trans_refine 8; "
                         "fixed-R robust translation re-aggregation)")
@@ -131,6 +134,15 @@ def main():
             "ours (+robust t)",
             base + ck + ["--method", "ours", "--exp", "res_ours_transref",
                          "--trans_refine", "8"]))
+    if args.icp_row:
+        rows.append(run(
+            "ours (+icp polish)",
+            base + ck + ["--method", "ours", "--exp", "res_ours_icp",
+                         "--icp", "5"]))
+        rows.append(run(
+            "ours (+icp polish, trans-only)",
+            base + ck + ["--method", "ours", "--exp", "res_ours_icp3",
+                         "--icp", "5", "--icp_dof", "3"]))
     if args.tuned_para:
         rows.append(run("ours (trained, tuned sigma)",
                         base + ck + ["--method", "ours", "--exp",
